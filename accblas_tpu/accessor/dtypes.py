@@ -1,0 +1,84 @@
+"""Arithmetic/storage dtype system for the accessor.
+
+The reference recovers the arithmetic type of an accessor expression with
+``decltype(alpha * mtx(0,0) * x(0,0) + beta * res(0,0))`` and checks it with a
+``static_assert`` (reference: ``cuda/gemv_kernels.cuh:86-87``,
+``cuda/dot_kernels.cuh:138``, ``cuda/trsv_kernels.cuh:541,739``). Here the same
+role is played by an explicit promotion lattice over named arithmetic types:
+
+    bf16 < f32 < df64 < f64
+
+- ``f32``/``bf16``: native jnp dtypes.
+- ``df64``: double-float (two-float32) emulated fp64 — the TPU-fast stand-in for
+  the reference's fp64 arithmetic tier (see accblas_tpu.ops.df64).
+- ``f64``: true float64; only usable where XLA x64 is enabled (CPU tests,
+  interpret mode) — kept for oracle parity tests, not for TPU hot paths.
+
+Storage types are plain jnp dtypes (bf16 / f16 / f32 / f64).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# canonical arithmetic-type names, in promotion order
+_ORDER = ("bf16", "f16", "f32", "df64", "f64")
+
+_JNP = {
+    "bf16": jnp.bfloat16,
+    "f16": jnp.float16,
+    "f32": jnp.float32,
+    "f64": jnp.float64,
+}
+
+_FROM_JNP = {
+    jnp.dtype(jnp.bfloat16): "bf16",
+    jnp.dtype(jnp.float16): "f16",
+    jnp.dtype(jnp.float32): "f32",
+    jnp.dtype(jnp.float64): "f64",
+}
+
+
+def canon(t) -> str:
+    """Canonicalise an arithmetic-type spec (name, jnp dtype, or 'df64')."""
+    if isinstance(t, str):
+        name = t.lower()
+        aliases = {
+            "float32": "f32",
+            "float64": "f64",
+            "bfloat16": "bf16",
+            "float16": "f16",
+            "fp32": "f32",
+            "fp64": "f64",
+            "df": "df64",
+        }
+        name = aliases.get(name, name)
+        if name not in _ORDER:
+            raise ValueError(f"unknown arithmetic type {t!r}")
+        return name
+    dt = jnp.dtype(t)
+    if dt not in _FROM_JNP:
+        raise ValueError(f"unsupported dtype {t!r}")
+    return _FROM_JNP[dt]
+
+
+def promote(*types) -> str:
+    """The decltype analogue: widest arithmetic type among the operands."""
+    names = [canon(t) for t in types]
+    return max(names, key=_ORDER.index)
+
+
+def jnp_dtype(name: str):
+    """jnp dtype for a native arithmetic/storage type name (not df64)."""
+    name = canon(name)
+    if name == "df64":
+        raise ValueError("df64 is not a storage dtype; it is an arithmetic pair of f32s")
+    return _JNP[name]
+
+
+def is_df(name) -> bool:
+    return canon(name) == "df64"
+
+
+def storage_bytes(st) -> int:
+    return jnp.dtype(jnp_dtype(st)).itemsize

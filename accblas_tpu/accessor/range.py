@@ -1,0 +1,183 @@
+"""Range / ReducedRowMajor: the accessor abstraction, rebuilt TPU-native.
+
+Reference semantics being reproduced (see SURVEY.md §2 C3):
+
+- ``gko::acc::reduced_row_major<2, ArType, StType>`` decouples the *storage*
+  precision of a buffer from the *arithmetic* precision of the kernel
+  (reference usage: ``cuda/gemv_kernels.cuh:183-189``,
+  ``cuda/dot_kernels.cuh:233-243``, ``cuda/trsv_kernels.cuh:923-933``).
+- Reads (``range(i, j)``) load StType and cast to ArType; writes cast
+  ArType → StType on store (``cuda/gemv_kernels.cuh:108-110``).
+- ``range.length(d)`` queries extents (``cuda/gemv_kernels.cuh:90,94``).
+- Const accessors guard read-only operands (``cuda/gemv_kernels.cuh:186-188``).
+- Ranges are passed *by value* into device kernels — POD views. Here a Range is
+  a lightweight wrapper that works over three carrier kinds:
+
+    1. numpy / jnp arrays (host + traced JAX code),
+    2. Pallas ``Ref`` blocks inside kernels (the CUDA-device analogue),
+    3. nothing-special pytrees — Range is itself registered as a pytree, so it
+       can cross ``jit`` / ``pallas_call`` boundaries.
+
+TPU-first deviation from the reference: the CUDA version bakes a runtime row
+``stride`` into the accessor because kernels address raw pointers. Under
+XLA/Pallas, windowing and strides are the job of BlockSpecs / slicing, so the
+Range carries logical extents only; the "submatrix of a larger allocation"
+pattern (``cuda/gemv_benchmark.cu:215``) maps to slicing the parent array,
+which XLA folds into the access (no copy under jit). A `stride` argument is
+still accepted for API parity and validated against the carrier.
+
+The arithmetic-type recovery (``decltype`` in C++) is `dtypes.promote`;
+df64 arithmetic values are `ops.df64.DF` pairs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from . import dtypes
+from ..ops.df64 import DF, df_to_f32
+
+
+@dataclass(frozen=True)
+class ReducedRowMajor:
+    """Accessor spec: (arithmetic type, storage type), 2-D row-major semantics.
+
+    Mirrors ``gko::acc::reduced_row_major<2, ArType, StType>`` — dimensionality
+    is fixed at 2 like every use in the reference ("even for vectors, so we can
+    access vectors with a stride", reference README.md:22).
+    """
+
+    ar: str  # arithmetic type name ('f32', 'df64', 'f64', 'bf16')
+    st: str  # storage type name   ('f32', 'bf16', 'f16', 'f64')
+
+    def __post_init__(self):
+        object.__setattr__(self, "ar", dtypes.canon(self.ar))
+        object.__setattr__(self, "st", dtypes.canon(self.st))
+        if self.st == "df64":
+            raise ValueError("storage type must be a real dtype, not df64")
+
+    @property
+    def st_dtype(self):
+        return dtypes.jnp_dtype(self.st)
+
+    # cast-on-load: StType value -> ArType value
+    def load_cast(self, raw):
+        if self.ar == "df64":
+            x = raw.astype(jnp.float32) if raw.dtype != jnp.float32 else raw
+            return DF(x, jnp.zeros_like(x))
+        return raw.astype(dtypes.jnp_dtype(self.ar))
+
+    # cast-on-store: ArType value -> StType value
+    def store_cast(self, value):
+        st = dtypes.jnp_dtype(self.st)
+        if isinstance(value, DF):
+            return df_to_f32(value).astype(st)
+        return jnp.asarray(value).astype(st)
+
+
+class Range:
+    """User-facing accessor view over an array or Pallas Ref.
+
+    ``r[i, j]`` / ``r.load()`` read storage and cast to the arithmetic type;
+    ``r.set(idx, value)`` / ``r.store(value)`` cast back to storage on write.
+    ``length(d)`` gives logical extents. ``const=True`` makes writes raise —
+    the analogue of ``Accessor::const_accessor``.
+    """
+
+    __slots__ = ("spec", "data", "_size", "const")
+
+    def __init__(self, spec: ReducedRowMajor, data, size=None, const=False):
+        self.spec = spec
+        self.data = data
+        self.const = const
+        if size is None:
+            shape = getattr(data, "shape", None)
+            size = tuple(shape) if shape is not None else None
+        self._size = tuple(size) if size is not None else None
+
+    # --- queries -------------------------------------------------------
+    def length(self, dim: int) -> int:
+        return self._size[dim]
+
+    @property
+    def shape(self):
+        return self._size
+
+    @property
+    def ar(self):
+        return self.spec.ar
+
+    @property
+    def st(self):
+        return self.spec.st
+
+    # --- reads ---------------------------------------------------------
+    def __getitem__(self, idx):
+        return self.spec.load_cast(self.data[idx])
+
+    def load(self, idx=None):
+        """Read the whole view (or a sub-index) as the arithmetic type."""
+        raw = self.data[...] if idx is None else self.data[idx]
+        return self.spec.load_cast(raw)
+
+    def load_raw(self, idx=None):
+        """Read storage-typed values without the cast.
+
+        Used by MXU consumers: feeding bf16 straight into ``jnp.dot(...,
+        preferred_element_type=f32)`` performs the cast-on-load *inside* the
+        systolic array — same semantics as load(), zero extra bandwidth/ops.
+        """
+        return self.data[...] if idx is None else self.data[idx]
+
+    # --- writes --------------------------------------------------------
+    def set(self, idx, value):
+        if self.const:
+            raise TypeError("write to const Range")
+        self.data[idx] = self.spec.store_cast(value)
+
+    def store(self, value, idx=None):
+        if self.const:
+            raise TypeError("write to const Range")
+        if idx is None:
+            idx = ...
+        self.data[idx] = self.spec.store_cast(value)
+
+    def updated(self, idx, value) -> "Range":
+        """Functional write for immutable jnp-array carriers: returns a new
+        Range with ``data.at[idx].set(cast(value))``. Pallas refs and numpy
+        arrays use the mutating ``set``/``store`` instead."""
+        if self.const:
+            raise TypeError("write to const Range")
+        new = self.data.at[idx].set(self.spec.store_cast(value))
+        return Range(self.spec, new, self._size, self.const)
+
+    # --- misc ----------------------------------------------------------
+    def as_const(self) -> "Range":
+        return Range(self.spec, self.data, self._size, const=True)
+
+    def __repr__(self):
+        return (
+            f"Range<ar={self.spec.ar}, st={self.spec.st}, size={self._size}, "
+            f"const={self.const}>"
+        )
+
+
+def _range_flatten(r: Range):
+    return (r.data,), (r.spec, r._size, r.const)
+
+
+def _range_unflatten(aux, children):
+    spec, size, const = aux
+    return Range(spec, children[0], size, const)
+
+
+jax.tree_util.register_pytree_node(Range, _range_flatten, _range_unflatten)
+
+
+def make_range(ar, st, data, size=None, const=False) -> Range:
+    """Convenience constructor mirroring the reference's range-building blocks
+    (``cuda/gemv_kernels.cuh:177-189``)."""
+    return Range(ReducedRowMajor(ar, st), data, size=size, const=const)

@@ -1,0 +1,264 @@
+"""Double-float (df64) arithmetic: fp64-class accumulation built from fp32 pairs.
+
+TPUs have no native float64 ALUs, so the role that ``double`` arithmetic plays in
+the reference (storage fp32, arithmetic fp64 — e.g. the Accessor<fp64, fp32>
+variants driven by ``acc_dot``/``acc_gemv``/``acc_trsv`` in the reference's
+``cuda/dot_kernels.cuh:224``, ``cuda/gemv_kernels.cuh:168``,
+``cuda/trsv_kernels.cuh:918``) is played here by *double-float* arithmetic: every
+value is an unevaluated sum ``hi + lo`` of two float32s, giving ~49 bits of
+significand (~2^-48 relative rounding, vs 2^-53 for true fp64 and 2^-24 for
+fp32). All operations are error-free-transform based (Dekker/Knuth/Møller) and
+compile to plain VPU mul/add/sub, so they run inside Pallas kernels and under
+``jit`` alike.
+
+The acceptance criterion (SURVEY.md §6) is that accessor mixed-precision error is
+pinned at the fp32 *storage* rounding floor (~1e-7) independent of accumulation
+length n — df64's 2^-48 accumulator noise is negligible against that floor, so
+df64 is a faithful stand-in for the reference's fp64 arithmetic tier.
+
+No code is taken from the reference; the EFT identities are textbook
+(Dekker 1971, Knuth TAOCP vol. 2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "DF",
+    "two_sum",
+    "fast_two_sum",
+    "two_prod",
+    "df_from",
+    "df_add",
+    "df_sub",
+    "df_mul",
+    "df_mul_f32",
+    "df_neg",
+    "df_to_f32",
+    "df_to_f64",
+    "df_zeros",
+    "df_sum",
+    "df_where",
+]
+
+_SPLIT = jnp.float32(4097.0)  # 2^12 + 1: Dekker split constant for float32
+
+
+def two_sum(a, b):
+    """Error-free sum: returns (s, e) with s = fl(a+b) and s + e == a + b exactly."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Error-free sum assuming |a| >= |b| (Dekker)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    lo = a - hi
+    return hi, lo
+
+
+def two_prod(a, b):
+    """Error-free product: (p, e) with p = fl(a*b), p + e == a*b exactly.
+
+    Uses Dekker splitting (no FMA dependence; TPU VPU ops are individually
+    rounded, which is exactly what the EFT needs).
+    """
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+@jax.tree_util.register_pytree_node_class
+class DF:
+    """A double-float value: unevaluated sum hi + lo of two float32 arrays.
+
+    Behaves like a jnp array for +, -, * against DF or float32 operands, so
+    generic accessor kernels (written once against ranges, reference pattern
+    ``cuda/gemv_kernels.cuh:79-113``) work unchanged when the arithmetic type
+    is df64.
+    """
+
+    __slots__ = ("hi", "lo")
+
+    def __init__(self, hi, lo):
+        self.hi = hi
+        self.lo = lo
+
+    # pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.hi, self.lo), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # shape/dtype conveniences ------------------------------------------
+    @property
+    def shape(self):
+        return jnp.shape(self.hi)
+
+    @property
+    def ndim(self):
+        return jnp.ndim(self.hi)
+
+    def __getitem__(self, idx):
+        return DF(self.hi[idx], self.lo[idx])
+
+    def reshape(self, *shape):
+        return DF(self.hi.reshape(*shape), self.lo.reshape(*shape))
+
+    def astype_df(self):
+        return self
+
+    # arithmetic --------------------------------------------------------
+    def __add__(self, other):
+        return df_add(self, df_from(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return df_sub(self, df_from(other))
+
+    def __rsub__(self, other):
+        return df_sub(df_from(other), self)
+
+    def __mul__(self, other):
+        other = df_from(other)
+        if isinstance(other, DF):
+            return df_mul(self, other)
+        return df_mul_f32(self, other)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return df_neg(self)
+
+    def __repr__(self):
+        return f"DF(hi={self.hi!r}, lo={self.lo!r})"
+
+
+def df_from(x) -> DF:
+    """Promote a float32 array (or python scalar) to DF exactly."""
+    if isinstance(x, DF):
+        return x
+    x = jnp.asarray(x, jnp.float32)
+    return DF(x, jnp.zeros_like(x))
+
+
+def df_zeros(shape) -> DF:
+    z = jnp.zeros(shape, jnp.float32)
+    return DF(z, z)
+
+
+def df_add(x: DF, y: DF) -> DF:
+    s, e = two_sum(x.hi, y.hi)
+    e = e + (x.lo + y.lo)
+    hi, lo = fast_two_sum(s, e)
+    return DF(hi, lo)
+
+
+def df_sub(x: DF, y: DF) -> DF:
+    return df_add(x, df_neg(y))
+
+
+def df_neg(x: DF) -> DF:
+    return DF(-x.hi, -x.lo)
+
+
+def df_mul(x: DF, y: DF) -> DF:
+    p, e = two_prod(x.hi, y.hi)
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    hi, lo = fast_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def df_mul_f32(x: DF, y) -> DF:
+    """DF * float32 (cheaper than full df_mul)."""
+    p, e = two_prod(x.hi, y)
+    e = e + x.lo * y
+    hi, lo = fast_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def df_to_f32(x: DF):
+    """Round DF to nearest float32 (accessor cast-on-store to fp32 storage)."""
+    return x.hi + x.lo
+
+
+def df_to_f64(x: DF):
+    """Exact value as float64 — host-side only (needs x64 or numpy)."""
+    import numpy as np
+
+    return np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)
+
+
+def df_where(mask, x: DF, y: DF) -> DF:
+    return DF(jnp.where(mask, x.hi, y.hi), jnp.where(mask, x.lo, y.lo))
+
+
+def df_sum(x: DF, axis=None) -> DF:
+    """Compensated reduction of a DF array.
+
+    Folds the array pairwise (binary tree) with df_add so every partial stays a
+    double-float — the TPU analogue of the reference's accurate tree ``reduce``
+    (``cuda/utils.cuh:281-300``) and of accumulating in fp64 registers inside the
+    CUDA kernels. axis=None reduces everything to a scalar DF; an int axis
+    reduces that axis (must have power-of-two-friendly folding: we peel odd
+    leftovers each level, so any length works).
+    """
+    if axis is None:
+        flat = x.reshape(-1)
+        n = flat.shape[0]
+        cur = flat
+        while n > 1:
+            half = n // 2
+            lo_part = DF(cur.hi[:half], cur.lo[:half])
+            hi_part = DF(cur.hi[half : 2 * half], cur.lo[half : 2 * half])
+            folded = df_add(lo_part, hi_part)
+            if n % 2:
+                tail = DF(cur.hi[2 * half :], cur.lo[2 * half :])
+                folded = DF(
+                    jnp.concatenate([folded.hi, tail.hi]),
+                    jnp.concatenate([folded.lo, tail.lo]),
+                )
+                n = half + 1
+            else:
+                n = half
+            cur = folded
+        return DF(cur.hi[0], cur.lo[0])
+
+    # axis reduction via moveaxis + the same fold
+    hi = jnp.moveaxis(x.hi, axis, 0)
+    lo = jnp.moveaxis(x.lo, axis, 0)
+    cur = DF(hi, lo)
+    n = hi.shape[0]
+    while n > 1:
+        half = n // 2
+        folded = df_add(
+            DF(cur.hi[:half], cur.lo[:half]),
+            DF(cur.hi[half : 2 * half], cur.lo[half : 2 * half]),
+        )
+        if n % 2:
+            # fold the odd leftover slice into slot 0
+            tail = DF(cur.hi[2 * half], cur.lo[2 * half])
+            first = df_add(DF(folded.hi[0], folded.lo[0]), tail)
+            folded = DF(
+                folded.hi.at[0].set(first.hi),
+                folded.lo.at[0].set(first.lo),
+            )
+        n = half
+        cur = folded
+    return DF(cur.hi[0], cur.lo[0])

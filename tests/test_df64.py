@@ -1,0 +1,106 @@
+"""df64 double-float arithmetic vs numpy float64 oracle.
+
+The oracle role here is the one fp64+cuBLAS plays in the reference's in-driver
+error harness (SURVEY.md §4): numpy float64 is the ground truth.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from accblas_tpu.ops import df64
+from accblas_tpu.ops.df64 import DF
+
+
+def _rand(rng, shape):
+    return rng.uniform(-1.0, 1.0, size=shape).astype(np.float32)
+
+
+def test_two_sum_exact(rng):
+    a = jnp.asarray(_rand(rng, (128,)))
+    b = jnp.asarray(_rand(rng, (128,)) * 1e-5)
+    s, e = df64.two_sum(a, b)
+    exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
+    recon = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+    np.testing.assert_array_equal(recon, exact)
+
+
+def test_two_prod_exact(rng):
+    a = jnp.asarray(_rand(rng, (256,)))
+    b = jnp.asarray(_rand(rng, (256,)))
+    p, e = df64.two_prod(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    recon = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    # fp32 products of fp32 inputs are exactly representable in fp64
+    np.testing.assert_array_equal(recon, exact)
+
+
+def test_df_add_mul_accuracy(rng):
+    a64 = rng.uniform(-1, 1, 512)
+    b64 = rng.uniform(-1, 1, 512)
+    a = df64.df_from(jnp.asarray(a64.astype(np.float32)))
+    b = df64.df_from(jnp.asarray(b64.astype(np.float32)))
+    a_ref = np.asarray(a.hi, np.float64)
+    b_ref = np.asarray(b.hi, np.float64)
+
+    s = df64.df_add(a, b)
+    np.testing.assert_allclose(df64.df_to_f64(s), a_ref + b_ref, rtol=0, atol=0)
+
+    p = df64.df_mul(a, b)
+    np.testing.assert_allclose(df64.df_to_f64(p), a_ref * b_ref, rtol=3e-15)
+
+
+def test_df_sum_flat_error(rng):
+    # compensated sum error must stay ~2^-48, far below fp32 and flat in n
+    for n in (10_000, 1_000_000):
+        x32 = _rand(rng, (n,))
+        x = df64.df_from(jnp.asarray(x32))
+        got = df64.df_to_f64(df64.df_sum(x))
+        ref = np.sum(np.asarray(x32, np.float64))
+        rel = abs(got - ref) / abs(ref)
+        assert rel < 1e-12, (n, rel)
+
+
+def test_df_sum_axis(rng):
+    x32 = _rand(rng, (33, 64))
+    x = df64.df_from(jnp.asarray(x32))
+    got = df64.df_to_f64(df64.df_sum(df64.df_sum(x, axis=0)))
+    ref = np.sum(np.asarray(x32, np.float64))
+    assert abs(got - ref) / abs(ref) < 1e-12
+
+
+def test_df_dot_beats_fp32(rng):
+    n = 1_000_000
+    x32 = _rand(rng, (n,))
+    y32 = _rand(rng, (n,))
+    x64 = np.asarray(x32, np.float64)
+    y64 = np.asarray(y32, np.float64)
+    ref = x64 @ y64
+
+    # df64 dot: exact products via two_prod, compensated fold
+    p, e = df64.df_mul(df64.df_from(jnp.asarray(x32)), df64.df_from(jnp.asarray(y32))).hi, None
+    prod = df64.df_mul(df64.df_from(jnp.asarray(x32)), df64.df_from(jnp.asarray(y32)))
+    got = df64.df_to_f64(df64.df_sum(prod))
+    rel_df = abs(got - ref) / abs(ref)
+
+    naive = float(jnp.dot(jnp.asarray(x32), jnp.asarray(y32)))
+    rel_f32 = abs(naive - ref) / abs(ref)
+
+    assert rel_df < 1e-12
+    assert rel_df < rel_f32 / 100
+
+
+def test_df_pytree_and_operators(rng):
+    a = df64.df_from(jnp.asarray(_rand(rng, (8,))))
+    b = df64.df_from(jnp.asarray(_rand(rng, (8,))))
+
+    @jax.jit
+    def f(a, b):
+        return a * b + a - b * 2.0
+
+    out = f(a, b)
+    assert isinstance(out, DF)
+    a64 = np.asarray(a.hi, np.float64)
+    b64 = np.asarray(b.hi, np.float64)
+    np.testing.assert_allclose(df64.df_to_f64(out), a64 * b64 + a64 - 2 * b64, rtol=1e-13, atol=1e-14)
