@@ -1,0 +1,45 @@
+"""Shared kernel-layer helpers."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def interpret_default() -> bool:
+    """Run Pallas kernels in interpreter mode when no TPU is present (CPU test
+    mesh); compiled Mosaic on TPU."""
+    return jax.default_backend() != "tpu"
+
+
+def pow2_ceil(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p
+
+
+def as_rows128(v: jnp.ndarray) -> jnp.ndarray:
+    """View a vector as (rows, 128) lanes.
+
+    Zero-copy when n % 128 == 0 (row-major reshape); otherwise pads the tail —
+    a copy, so benchmark sweeps use lane-aligned sizes (the reference's sweep
+    values are arbitrary because CUDA kernels do per-element bounds checks;
+    on TPU the lane dimension is physical).
+    """
+    n = v.shape[0]
+    rem = n % 128
+    if rem:
+        v = jnp.concatenate([v, jnp.zeros(128 - rem, v.dtype)])
+    return v.reshape(-1, 128)
+
+
+def compiler_params(**kw):
+    """pltpu.CompilerParams with graceful fallback across jax versions."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    try:
+        return pltpu.CompilerParams(**kw)
+    except TypeError:
+        kw.pop("dimension_semantics", None)
+        return pltpu.CompilerParams(**kw)

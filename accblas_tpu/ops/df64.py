@@ -18,6 +18,14 @@ df64 is a faithful stand-in for the reference's fp64 arithmetic tier.
 
 No code is taken from the reference; the EFT identities are textbook
 (Dekker 1971, Knuth TAOCP vol. 2).
+
+Backend faithfulness note: EFTs require each float op to be IEEE-rounded
+individually. Mosaic (Pallas on TPU) and XLA:TPU honor this — verified against
+a numpy float64 oracle on hardware. XLA:**CPU** at its default backend
+optimization level duplicates producers into consumer loops and lets LLVM
+contract mul+add into FMA, which silently breaks two_sum/two_prod
+compositions; run CPU tests/debug sessions with
+``XLA_FLAGS=--xla_backend_optimization_level=0`` (tests/conftest.py does).
 """
 
 from __future__ import annotations
@@ -43,7 +51,9 @@ __all__ = [
     "df_where",
 ]
 
-_SPLIT = jnp.float32(4097.0)  # 2^12 + 1: Dekker split constant for float32
+# 2^12 + 1: Dekker split constant for float32. Kept as a Python literal (not a
+# jnp array) so kernels using it don't capture a traced constant.
+_SPLIT = 4097.0
 
 
 def two_sum(a, b):
@@ -203,6 +213,68 @@ def df_to_f64(x: DF):
     import numpy as np
 
     return np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)
+
+
+def cascaded_fold(p, out_rows: int = 8, err=None) -> DF:
+    """Error-compensated pairwise fold of a float32 (R, L) tile to DF(out_rows, L).
+
+    The fast path of df64 accumulation inside kernels: each halving level uses
+    two_sum (exact), and the rounding terms are themselves folded in a plain
+    f32 side-channel (their own rounding errors are O(eps^2) — negligible).
+    Cost ~8 VPU ops per input element, vs ~20+ for a full df_add tree, which
+    keeps bandwidth-bound kernels (DOT/GEMV) at the HBM roofline.
+
+    This is the TPU replacement for the reference's per-thread fp64 partials +
+    shared-memory block reduce (``cuda/kernel_utils.cuh:69-89``,
+    ``cuda/dot_kernels.cuh:87-116``): lane-parallel partials with an exact
+    compensation term instead of warp shuffles.
+
+    `err`: optional initial per-element error array of the same shape as `p`
+    (e.g. the two_prod low words in precise mode).
+
+    R and out_rows must be powers of two, R >= out_rows.
+    """
+    s = p
+    rows = s.shape[0]
+    assert rows >= out_rows and (rows & (rows - 1)) == 0, rows
+    assert (out_rows & (out_rows - 1)) == 0, out_rows
+    while s.shape[0] > out_rows:
+        half = s.shape[0] // 2
+        s, e = two_sum(s[:half], s[half:])
+        err = e if err is None else err[:half] + err[half:] + e
+    if err is None:
+        err = jnp.zeros_like(s)
+    elif err.shape[0] != out_rows:
+        # fold the error channel the rest of the way in plain f32
+        while err.shape[0] > out_rows:
+            half = err.shape[0] // 2
+            err = err[:half] + err[half:]
+    return DF(s, err)
+
+
+def df_fold_rows(x: DF, out_rows: int = 1) -> DF:
+    """Pairwise df_add fold of DF (R, L) rows down to (out_rows, L)."""
+    cur = x
+    rows = cur.shape[0]
+    assert rows >= out_rows and (rows & (rows - 1)) == 0, rows
+    while cur.shape[0] > out_rows:
+        half = cur.shape[0] // 2
+        cur = df_add(cur[:half], cur[half:])
+    return cur
+
+
+def df_fold_lanes(x: DF, out_lanes: int = 1) -> DF:
+    """Pairwise df_add fold along the last (lane) axis."""
+    cur = x
+    lanes = cur.shape[-1]
+    assert lanes >= out_lanes and (lanes & (lanes - 1)) == 0, lanes
+    while cur.shape[-1] > out_lanes:
+        half = cur.shape[-1] // 2
+        cur = df_add(
+            DF(cur.hi[..., :half], cur.lo[..., :half]),
+            DF(cur.hi[..., half:], cur.lo[..., half:]),
+        )
+    return cur
 
 
 def df_where(mask, x: DF, y: DF) -> DF:

@@ -1,0 +1,221 @@
+"""DOT kernels: fixed-precision, accessor mixed-precision, and XLA baseline.
+
+TPU-native rebuild of the reference's DOT family (``cuda/dot_kernels.cuh``):
+
+- ``kernel::dot`` (grid-stride loop + shared-mem block reduce + one global
+  atomic per block, ``cuda/dot_kernels.cuh:87-116``) becomes a Pallas kernel
+  with a 1-D sequential grid over (R, 128) tiles: per-lane partials live in a
+  VMEM scratch accumulator carried across grid steps — TPU grid order replaces
+  the atomics — and the final step folds the accumulator to a scalar (the
+  block-reduce analogue).
+- ``kernel::acc_dot`` (``cuda/dot_kernels.cuh:131-161``) is the same body
+  written against accessor ranges: storage dtype decoupled from arithmetic
+  dtype via cast-on-load. df64 arithmetic uses the cascaded compensated fold
+  (ops.df64.cascaded_fold) so the kernel stays HBM-bandwidth-bound.
+- ``cublas_dot`` (``cuda/dot_kernels.cuh:268-299``) maps to `xla_dot`
+  (XLA's own reduction — the vendor tier).
+- The ``init_res`` zeroing kernel and the 16-byte device scratch of
+  ``myBlasHandle`` (``cuda/dot_kernels.cuh:29-65,78-82``) are unnecessary:
+  the accumulator is VMEM scratch zeroed at grid step 0, and results are
+  functional outputs.
+
+Result-type conversion (``kernel::cast_result``, ``cuda/dot_kernels.cuh:168``)
+happens host-side on the returned scalar.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accessor import dtypes
+from ..accessor.range import Range, ReducedRowMajor
+from . import df64 as dfm
+from .common import as_rows128, compiler_params, interpret_default, pow2_ceil
+
+MAX_BLOCK_ROWS = 1024  # (1024, 128) f32 tile = 512 KiB per operand per buffer
+
+
+def _dot_kernel(
+    x_ref,
+    y_ref,
+    hi_ref,
+    lo_ref,
+    acc_hi,
+    acc_lo,
+    *,
+    spec_x: ReducedRowMajor,
+    spec_y: ReducedRowMajor,
+    ar: str,
+    rows_total: int,
+    block_rows: int,
+    n_steps: int,
+    precise: bool,
+):
+    i = pl.program_id(0)
+    ragged = rows_total % block_rows != 0
+
+    @pl.when(i == 0)
+    def _init():
+        acc_hi[...] = jnp.zeros_like(acc_hi)
+        acc_lo[...] = jnp.zeros_like(acc_lo)
+
+    rx = Range(spec_x, x_ref, const=True)
+    ry = Range(spec_y, y_ref, const=True)
+
+    if ar == "df64":
+        # accessor cast-on-load to f32 carriers of the df64 values
+        xa = rx.load_raw().astype(jnp.float32)
+        ya = ry.load_raw().astype(jnp.float32)
+        if precise:
+            p, e = dfm.two_prod(xa, ya)
+        else:
+            p, e = xa * ya, None
+        if ragged:
+            valid = rows_total - i * block_rows
+            rowid = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+            p = jnp.where(rowid < valid, p, 0.0)
+            if e is not None:
+                e = jnp.where(rowid < valid, e, 0.0)
+        part = dfm.cascaded_fold(p, out_rows=acc_hi.shape[0], err=e)
+        acc = dfm.df_add(dfm.DF(acc_hi[...], acc_lo[...]), part)
+        acc_hi[...] = acc.hi
+        acc_lo[...] = acc.lo
+    else:
+        ar_dt = dtypes.jnp_dtype(ar)
+        xa = rx.load()
+        ya = ry.load()
+        p = (xa * ya).astype(ar_dt)
+        if ragged:
+            valid = rows_total - i * block_rows
+            rowid = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+            p = jnp.where(rowid < valid, p, jnp.zeros((), ar_dt))
+        sub = acc_hi.shape[0]
+        part = jnp.sum(
+            p.reshape(block_rows // sub, sub, 128), axis=0, dtype=ar_dt
+        )
+        acc_hi[...] = acc_hi[...] + part
+
+    @pl.when(i == n_steps - 1)
+    def _finish():
+        if ar == "df64":
+            t = dfm.df_fold_lanes(
+                dfm.df_fold_rows(dfm.DF(acc_hi[...], acc_lo[...]), 1), 1
+            )
+            hi_ref[0, 0] = t.hi[0, 0]
+            lo_ref[0, 0] = t.lo[0, 0]
+        else:
+            # keepdims + array-level cast: Mosaic cannot extract sub-32-bit
+            # scalars, so round in-array before the (1, 1) read
+            total = jnp.sum(
+                acc_hi[...], dtype=dtypes.jnp_dtype(ar), keepdims=True
+            ).astype(jnp.float32)
+            hi_ref[0, 0] = total[0, 0]
+            lo_ref[0, 0] = jnp.float32(0.0)
+
+
+def _dot_call(x, y, ar: str, precise: bool, interpret):
+    if x.shape != y.shape or x.ndim != 1:
+        raise ValueError(f"dot expects equal-length vectors, got {x.shape} {y.shape}")
+    spec_x = ReducedRowMajor(ar, dtypes.canon(x.dtype))
+    spec_y = ReducedRowMajor(ar, dtypes.canon(y.dtype))
+    if interpret is None:
+        interpret = interpret_default()
+
+    x2 = as_rows128(x)
+    y2 = as_rows128(y)
+    rows = x2.shape[0]
+    block_rows = min(MAX_BLOCK_ROWS, pow2_ceil(max(rows, 8)))
+    n_steps = pl.cdiv(rows, block_rows)
+
+    # bf16 accumulators want the (16, 128) native tile
+    sub = 16 if ar == "bf16" else 8
+    acc_dt = jnp.float32 if ar == "df64" else dtypes.jnp_dtype(ar)
+
+    kernel = functools.partial(
+        _dot_kernel,
+        spec_x=spec_x,
+        spec_y=spec_y,
+        ar=ar,
+        rows_total=rows,
+        block_rows=block_rows,
+        n_steps=n_steps,
+        precise=precise,
+    )
+    hi, lo = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((sub, 128), acc_dt),
+            pltpu.VMEM((sub, 128), acc_dt),
+        ],
+        compiler_params=compiler_params(dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * x.shape[0],
+            bytes_accessed=x.shape[0]
+            * (dtypes.storage_bytes(spec_x.st) + dtypes.storage_bytes(spec_y.st)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, y2)
+    return hi[0, 0], lo[0, 0]
+
+
+def dot(x, y, *, interpret=None):
+    """Fixed-precision DOT: arithmetic type == storage type.
+
+    The hand-written variant tier (reference ``dot`` launcher,
+    ``cuda/dot_kernels.cuh:192-206``). Returns a scalar in the storage dtype.
+    """
+    ar = dtypes.canon(x.dtype)
+    hi, _ = _dot_call(x, y, ar, precise=False, interpret=interpret)
+    return hi.astype(dtypes.jnp_dtype(ar))
+
+
+def acc_dot(x, y, ar="df64", *, precise: bool = False, res_dtype=None, interpret=None):
+    """Accessor mixed-precision DOT (reference ``acc_dot``,
+    ``cuda/dot_kernels.cuh:224-263``).
+
+    Storage dtypes come from the arrays; `ar` is the arithmetic type
+    ('f32' | 'df64' | 'bf16'). With ar='df64', `precise=True` computes exact
+    two_prod products (accumulator error ~2^-48); the default keeps products
+    in f32 (error stays at the fp32 storage floor — the property the
+    reference's plots demonstrate) at lower VPU cost.
+
+    Returns a DF scalar for ar='df64' (use .hi or ops.df64.df_to_f64), else a
+    scalar of the arithmetic dtype; `res_dtype` requests a final cast — the
+    ``cast_result`` analogue (``cuda/dot_kernels.cuh:168-173``).
+    """
+    ar = dtypes.canon(ar)
+    hi, lo = _dot_call(x, y, ar, precise=precise, interpret=interpret)
+    if ar == "df64":
+        out = dfm.DF(hi, lo)
+        if res_dtype is not None:
+            return dfm.df_to_f32(out).astype(dtypes.jnp_dtype(dtypes.canon(res_dtype)))
+        return out
+    out = hi.astype(dtypes.jnp_dtype(ar))
+    if res_dtype is not None:
+        out = out.astype(dtypes.jnp_dtype(dtypes.canon(res_dtype)))
+    return out
+
+
+def xla_dot(x, y):
+    """Vendor-baseline tier: XLA's own dot (the cublas_dot analogue,
+    ``cuda/dot_kernels.cuh:268-299``)."""
+    return jnp.dot(x, y)

@@ -1,0 +1,124 @@
+"""DOT kernels vs numpy float64 oracle (Pallas interpret mode on CPU).
+
+Covers BASELINE.json config 1 (DOT n=2^20 fp32/fp32 vs numpy fp64) plus the
+mixed-precision pairs and the error-floor property (accessor error flat in n,
+fixed-precision error grows).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from accblas_tpu.ops import dot as dotops
+from accblas_tpu.ops import df64
+from accblas_tpu.utils import MatrixInfo, gen_mtx
+
+
+def _vecs(n, seed=42):
+    x64 = gen_mtx(MatrixInfo(1, n), seed=seed)[0]
+    y64 = gen_mtx(MatrixInfo(1, n), seed=seed + 1)[0]
+    return x64, y64
+
+
+def _rel(a, b):
+    return abs(a - b) / abs(b)
+
+
+@pytest.mark.parametrize("n", [1024, 2**17, 100_000, 777])
+def test_dot_f32_fixed(n):
+    x64, y64 = _vecs(n)
+    ref = x64 @ y64
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    got = float(dotops.dot(x, y))
+    # fixed fp32: error grows with n but stays within a loose fp32 envelope
+    assert _rel(got, ref) < 5e-5
+    # must agree with an fp32-accumulated numpy computation to fp32 roundoff scale
+    approx = np.float32(x64.astype(np.float32) @ y64.astype(np.float32))
+    assert _rel(got, float(approx)) < 1e-4
+
+
+@pytest.mark.parametrize("n", [2**16, 12345])
+def test_acc_dot_df64_f32_storage(n):
+    x64, y64 = _vecs(n)
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    # oracle on the STORED (rounded) values — isolates arithmetic error
+    ref_stored = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+    out = dotops.acc_dot(x, y, ar="df64")
+    got = float(df64.df_to_f64(out))
+    assert _rel(got, ref_stored) < 5e-7  # fast mode: f32 product rounding only
+    out_p = dotops.acc_dot(x, y, ar="df64", precise=True)
+    got_p = float(df64.df_to_f64(out_p))
+    assert _rel(got_p, ref_stored) < 1e-12  # precise mode: exact products
+
+
+def test_acc_dot_error_flat_fixed_grows():
+    """The headline property (BASELINE.md): accessor error pinned at the
+    storage floor independent of n; fixed-fp32 arithmetic error grows."""
+    errs_acc, errs_fixed = [], []
+    for n in (2**12, 2**17):
+        x64, y64 = _vecs(n, seed=3)
+        ref = x64 @ y64
+        x = jnp.asarray(x64, jnp.float32)
+        y = jnp.asarray(y64, jnp.float32)
+        errs_acc.append(_rel(float(df64.df_to_f64(dotops.acc_dot(x, y, ar="df64", precise=True))), ref))
+        errs_fixed.append(_rel(float(dotops.dot(x, y)), ref))
+    assert errs_acc[1] < 1e-6
+    assert errs_acc[1] < 5 * errs_acc[0] + 1e-7  # flat-ish
+    assert errs_fixed[1] > errs_acc[1]  # fixed fp32 is worse at large n
+
+
+def test_acc_dot_bf16_storage_f32_arith():
+    n = 2**16
+    x64, y64 = _vecs(n, seed=5)
+    xb = jnp.asarray(x64, jnp.float32).astype(jnp.bfloat16)
+    yb = jnp.asarray(y64, jnp.float32).astype(jnp.bfloat16)
+    ref_stored = np.asarray(xb.astype(jnp.float32), np.float64) @ np.asarray(
+        yb.astype(jnp.float32), np.float64
+    )
+    got = float(dotops.acc_dot(xb, yb, ar="f32"))
+    assert _rel(got, ref_stored) < 1e-5  # f32 accumulation over bf16 storage
+    got_df = float(df64.df_to_f64(dotops.acc_dot(xb, yb, ar="df64", precise=True)))
+    assert _rel(got_df, ref_stored) < 1e-12
+
+
+def test_fixed_bf16_runs():
+    n = 4096
+    x64, y64 = _vecs(n, seed=9)
+    xb = jnp.asarray(x64, jnp.float32).astype(jnp.bfloat16)
+    yb = jnp.asarray(y64, jnp.float32).astype(jnp.bfloat16)
+    got = dotops.dot(xb, yb)
+    assert got.dtype == jnp.bfloat16
+    ref = x64 @ y64
+    assert _rel(float(got.astype(jnp.float32)), ref) < 0.3  # bf16 everything: coarse
+
+
+def test_res_dtype_cast():
+    n = 8192
+    x64, y64 = _vecs(n, seed=11)
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    out = dotops.acc_dot(x, y, ar="df64", res_dtype="f32")
+    assert out.dtype == jnp.float32
+    ref_stored = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+    assert _rel(float(out), ref_stored) < 1e-6
+
+
+def test_xla_dot_baseline():
+    n = 2**18
+    x64, y64 = _vecs(n, seed=13)
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    assert _rel(float(dotops.xla_dot(x, y)), x64 @ y64) < 5e-5
+
+
+def test_dot_under_jit():
+    n = 2**15
+    x64, y64 = _vecs(n, seed=17)
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    f = jax.jit(lambda a, b: dotops.acc_dot(a, b, ar="df64", precise=True))
+    out = f(x, y)
+    assert _rel(float(df64.df_to_f64(out)), np.asarray(x, np.float64) @ np.asarray(y, np.float64)) < 1e-12
