@@ -1,0 +1,135 @@
+"""Shared benchmark-driver machinery.
+
+Reproduces the reference's driver structure (SURVEY.md §2 C24): a list of
+(name, timed-run lambda, error lambda) benchmark entries, a size sweep, and
+`;`-delimited CSV on stdout with 16-digit scientific values
+(``cuda/dot_benchmark.cu:28,146-158``). Entry 0 is the error reference on the
+reference side; here the error oracle is host numpy float64 on the master
+data — the same role, one tier stronger.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from typing import Callable, Sequence
+
+import numpy as np
+
+DELIM = ";"  # reference: cuda/dot_benchmark.cu:28
+
+
+def enable_compile_cache():
+    """Persistent compilation cache: size sweeps recompile per shape, so cache
+    across runs (the CUDA reference has no JIT — this is TPU-specific)."""
+    import jax
+
+    path = os.environ.get("ACCBLAS_CACHE", os.path.expanduser("~/.cache/accblas_jit"))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+@dataclasses.dataclass
+class BenchmarkInfo:
+    """(name, run, error) tuple — the benchmark_info_t analogue
+    (``cuda/dot_benchmark.cu:84-142``)."""
+
+    name: str
+    run: Callable[[], object]  # returns device handle(s) to block on
+    error: Callable[[], float]  # relative error vs the fp64 oracle
+
+
+def fmt(v: float) -> str:
+    """16-digit scientific, reference ``dot_benchmark.cu:157-158``."""
+    return f"{v:.16e}"
+
+
+def emit_header(first_col: str, names: Sequence[str], file=sys.stdout):
+    print(DELIM.join([first_col] + list(names)), file=file, flush=True)
+
+
+def emit_row(size: int, values: Sequence[float], file=sys.stdout):
+    print(DELIM.join([str(size)] + [fmt(v) for v in values]), file=file, flush=True)
+
+
+def parse_args(prog: str, default_size: int, min_size: int, extra=None):
+    """--error / --size=N (reference flag surface, ``cuda/dot_benchmark.cu:33-68``)
+    plus sweep controls."""
+    p = argparse.ArgumentParser(
+        prog=prog,
+        description=f"{prog}: accblas-tpu benchmark driver "
+        "(CSV to stdout; see BASELINE.md for the measurement protocol)",
+    )
+    p.add_argument("--error", action="store_true", help="measure relative error instead of time")
+    p.add_argument("--size", type=int, default=default_size, help="maximum sweep size")
+    p.add_argument(
+        "--sweep",
+        choices=["pow2", "dense", "single"],
+        default="pow2",
+        help="size grid: pow2 = doubling (default), dense = reference-style linear steps, single = only --size",
+    )
+    p.add_argument("--randomizations", type=int, default=10,
+                   help="error-mode re-randomizations for the median (reference: 10)")
+    if extra:
+        extra(p)
+    args = p.parse_args()
+    if args.size < min_size:
+        p.error(f"--size must be >= {min_size}")
+    return args
+
+
+def sweep_sizes(args, min_size: int, align: int, dense_step: int):
+    """Size grid. All sizes are aligned to `align` (TPU lane/block physics —
+    the CUDA reference sweeps arbitrary sizes because its kernels bounds-check
+    per element; padding inside the timed region would distort bandwidth)."""
+
+    def al(v):
+        return max(align, (v // align) * align)
+
+    if args.sweep == "single":
+        return [al(args.size)]
+    if args.sweep == "dense":
+        return sorted({al(s) for s in range(min_size, args.size + 1, dense_step)})
+    sizes = []
+    s = min_size
+    while s <= args.size:
+        sizes.append(al(s))
+        s *= 2
+    if sizes and sizes[-1] != al(args.size):
+        sizes.append(al(args.size))
+    return sizes
+
+
+def median(vals) -> float:
+    """Median over re-randomizations (reference ``dot_benchmark.cu:238-259``)."""
+    return float(np.median(np.asarray(vals, np.float64)))
+
+
+def device_info():
+    """Device kind + peak HBM bandwidth (GB/s) for roofline reporting."""
+    import jax
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown")
+    table = {
+        "TPU v4": 1228.0,
+        "TPU v5 lite": 819.0,
+        "TPU v5e": 819.0,
+        "TPU v5": 819.0,
+        "TPU v5p": 2765.0,
+        "TPU v6 lite": 1640.0,
+        "TPU v6e": 1640.0,
+    }
+    bw = None
+    for k, v in table.items():
+        if kind.lower().startswith(k.lower()):
+            bw = v
+    if bw is None:
+        bw = table.get(kind, 819.0)
+    return kind, bw

@@ -252,6 +252,29 @@ def cascaded_fold(p, out_rows: int = 8, err=None) -> DF:
     return DF(s, err)
 
 
+def cascaded_fold_mid(p, err=None) -> DF:
+    """Error-compensated fold of (M, K, L) float32 over the middle axis → DF(M, L).
+
+    The GEMV row-sum analogue of cascaded_fold: per-row partial sums across a
+    column block, exact via two_sum trees with an f32 error side-channel.
+    K must be a power of two.
+    """
+    s = p
+    k = s.shape[1]
+    assert (k & (k - 1)) == 0, k
+    while s.shape[1] > 1:
+        half = s.shape[1] // 2
+        s, e = two_sum(s[:, :half], s[:, half:])
+        err = e if err is None else err[:, :half] + err[:, half:] + e
+    if err is None:
+        err = jnp.zeros_like(s)
+    else:
+        while err.shape[1] > 1:
+            half = err.shape[1] // 2
+            err = err[:, :half] + err[:, half:]
+    return DF(s[:, 0], err[:, 0])
+
+
 def df_fold_rows(x: DF, out_rows: int = 1) -> DF:
     """Pairwise df_add fold of DF (R, L) rows down to (out_rows, L)."""
     cur = x

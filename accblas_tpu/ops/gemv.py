@@ -1,0 +1,224 @@
+"""GEMV kernels: res = alpha * A @ x + beta * res.
+
+TPU-native rebuild of the reference's GEMV family (``cuda/gemv_kernels.cuh``):
+
+- ``kernel::gemv`` (one thread block per row, threads striding columns with a
+  shared-memory reduce, ``cuda/gemv_kernels.cuh:30-64``) becomes a Pallas
+  kernel over a (row-block × column-block) grid. Per step the MXU contracts an
+  (BM, BN) tile of A against the x column block — the systolic array replaces
+  the per-row reduction tree — with partials carried in a VMEM scratch across
+  the column grid dimension and the alpha/beta epilogue applied on the last
+  column step (the thread-0 epilogue analogue, ``cuda/gemv_kernels.cuh:56-63``
+  including the beta == 0 special case).
+- ``kernel::acc_gemv`` (``cuda/gemv_kernels.cuh:79-113``) is the accessor
+  tier. For f32 arithmetic over bf16/f32 storage the cast-on-load is folded
+  into the MXU via ``preferred_element_type`` — same semantics as an explicit
+  upcast, zero extra ops. For df64 arithmetic the kernel runs on the VPU with
+  error-compensated row folds (ops.df64.cascaded_fold_mid).
+- ``cublas_gemv`` (``cuda/gemv_kernels.cuh:198-243``) maps to `xla_gemv`.
+  The reference needs CUBLAS_OP_T because its storage is row-major; XLA takes
+  row-major natively.
+
+alpha/beta ride in SMEM as (1,1) scalars (runtime values, like the reference's
+kernel arguments — not trace-time constants).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accessor import dtypes
+from . import df64 as dfm
+from .common import compiler_params, interpret_default, pow2_ceil
+
+BM_MAX = 256  # row-block
+BN_MAX = 512  # column-block
+
+
+def _gemv_kernel(
+    alpha_ref,
+    beta_ref,
+    a_ref,
+    x_ref,
+    r_ref,
+    o_ref,
+    acc_hi,
+    acc_lo,
+    *,
+    ar: str,
+    st_out: str,
+    n_total: int,
+    bn: int,
+    n_steps_j: int,
+    precise: bool,
+):
+    j = pl.program_id(1)
+    ragged_n = n_total % bn != 0
+
+    @pl.when(j == 0)
+    def _init():
+        acc_hi[...] = jnp.zeros_like(acc_hi)
+        if acc_lo is not None:
+            acc_lo[...] = jnp.zeros_like(acc_lo)
+
+    xv = x_ref[...]  # (1, BN) storage dtype
+    av_raw = a_ref[...]
+    if ragged_n:
+        # out-of-bounds tail blocks read unspecified values (possibly NaN/inf,
+        # which would poison the contraction even against masked-zero x) —
+        # zero both operands past n
+        valid = n_total - j * bn
+        colid = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
+        xv = jnp.where(colid < valid, xv, jnp.zeros((), xv.dtype))
+        acolid = jax.lax.broadcasted_iota(jnp.int32, av_raw.shape, 1)
+        av_raw = jnp.where(acolid < valid, av_raw, jnp.zeros((), av_raw.dtype))
+
+    if ar == "df64":
+        av = av_raw.astype(jnp.float32)  # cast-on-load
+        xa = xv.astype(jnp.float32)
+        if precise:
+            p, e = dfm.two_prod(av, xa)
+        else:
+            p, e = av * xa, None
+        bm = p.shape[0]
+        part = dfm.cascaded_fold_mid(
+            p.reshape(bm, bn // 128, 128),
+            err=None if e is None else e.reshape(bm, bn // 128, 128),
+        )  # DF (BM, 128)
+        acc = dfm.df_add(dfm.DF(acc_hi[...], acc_lo[...]), part)
+        acc_hi[...] = acc.hi
+        acc_lo[...] = acc.lo
+    else:
+        ar_dt = dtypes.jnp_dtype(ar)
+        # cast-on-load: explicit converts when storage != arithmetic dtype
+        # (Mosaic rejects mixed-dtype dot_general operands); the MXU then
+        # contracts A's columns with x's columns (rhs-transposed q @ k^T form)
+        av = av_raw if av_raw.dtype == ar_dt else av_raw.astype(ar_dt)
+        xa = xv if xv.dtype == ar_dt else xv.astype(ar_dt)
+        part = jax.lax.dot_general(
+            av,
+            xa,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=ar_dt,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (BM, 1)
+        acc_hi[...] = acc_hi[...] + part
+
+    @pl.when(j == n_steps_j - 1)
+    def _finish():
+        alpha = alpha_ref[0, 0]
+        beta = beta_ref[0, 0]
+        st_dt = dtypes.jnp_dtype(st_out)
+        if ar == "df64":
+            total = dfm.df_fold_lanes(dfm.DF(acc_hi[...], acc_lo[...]), 1)  # (BM, 1)
+            val = dfm.df_mul_f32(total, alpha)
+            # beta == 0 special case: don't read res (it may be uninitialized),
+            # mirroring cuda/gemv_kernels.cuh:58-63
+            rv = jnp.where(
+                beta == 0.0,
+                jnp.zeros_like(r_ref[...], jnp.float32),
+                r_ref[...].astype(jnp.float32) * beta,
+            )
+            out = dfm.df_add(val, dfm.df_from(rv))
+            o_ref[...] = dfm.df_to_f32(out).astype(st_dt)
+        else:
+            ar_dt = dtypes.jnp_dtype(ar)
+            val = acc_hi[...].astype(jnp.float32) * alpha
+            rv = jnp.where(
+                beta == 0.0,
+                jnp.zeros_like(r_ref[...], jnp.float32),
+                r_ref[...].astype(jnp.float32) * beta,
+            )
+            o_ref[...] = (val + rv).astype(ar_dt).astype(st_dt)
+
+
+def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret):
+    m, n = a.shape
+    if x.shape != (n,) or res.shape != (m,):
+        raise ValueError(f"shape mismatch: A{a.shape} x{x.shape} res{res.shape}")
+    if interpret is None:
+        interpret = interpret_default()
+    st_out = dtypes.canon(res.dtype)
+
+    bm = min(BM_MAX, pow2_ceil(max(m, 8)))
+    bn = min(BN_MAX, pow2_ceil(max(n, 128)))
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+
+    x2 = x.reshape(1, n)
+    r2 = res.reshape(m, 1)
+    alpha2 = jnp.full((1, 1), alpha, jnp.float32)
+    beta2 = jnp.full((1, 1), beta, jnp.float32)
+
+    acc_dt = jnp.float32 if ar == "df64" else dtypes.jnp_dtype(ar)
+    acc_shape = (bm, 128) if ar == "df64" else (bm, 1)
+    scratch = [pltpu.VMEM(acc_shape, acc_dt)]
+    scratch.append(pltpu.VMEM(acc_shape, acc_dt) if ar == "df64" else None)
+
+    kernel = functools.partial(
+        _gemv_kernel,
+        ar=ar,
+        st_out=st_out,
+        n_total=n,
+        bn=bn,
+        n_steps_j=grid[1],
+        precise=precise,
+    )
+    if scratch[1] is None:
+        scratch = scratch[:1]
+
+        def kernel2(al, be, a_r, x_r, r_r, o_r, hi):
+            return kernel(al, be, a_r, x_r, r_r, o_r, hi, None)
+
+    else:
+        kernel2 = kernel
+
+    out = pl.pallas_call(
+        kernel2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 1), dtypes.jnp_dtype(st_out)),
+        scratch_shapes=scratch,
+        compiler_params=compiler_params(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n,
+            bytes_accessed=m * n * dtypes.storage_bytes(dtypes.canon(a.dtype)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(alpha2, beta2, a, x2, r2)
+    return out.reshape(m)
+
+
+def gemv(a, x, res, alpha=1.0, beta=1.0, *, interpret=None):
+    """Fixed-precision GEMV: arithmetic == storage dtype (reference ``gemv``
+    launcher, ``cuda/gemv_kernels.cuh:136-147``)."""
+    ar = dtypes.canon(a.dtype)
+    return _gemv_call(a, x, res, alpha, beta, ar, precise=False, interpret=interpret)
+
+
+def acc_gemv(a, x, res, alpha=1.0, beta=1.0, ar="df64", *, precise=False, interpret=None):
+    """Accessor mixed-precision GEMV (reference ``acc_gemv``,
+    ``cuda/gemv_kernels.cuh:168-193``): storage dtypes from the arrays,
+    arithmetic per `ar` ('f32' | 'df64' | 'bf16')."""
+    ar = dtypes.canon(ar)
+    return _gemv_call(a, x, res, alpha, beta, ar, precise=precise, interpret=interpret)
+
+
+def xla_gemv(a, x, res, alpha=1.0, beta=1.0):
+    """Vendor-baseline tier (the cublas_gemv analogue,
+    ``cuda/gemv_kernels.cuh:198-243``)."""
+    return (alpha * (a @ x) + beta * res).astype(res.dtype)

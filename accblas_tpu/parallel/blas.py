@@ -1,0 +1,117 @@
+"""Multi-chip sharded BLAS — the ICI extension beyond reference parity.
+
+The reference is strictly single-GPU (SURVEY.md §2 "Parallelism &
+communication": no NCCL/MPI, device 0 hardcoded at
+``cuda/dot_kernels.cuh:33``). On TPU the natural scale-out is a
+``jax.sharding.Mesh`` with XLA collectives over ICI — so the framework ships
+sharded DOT/GEMV built from the same Pallas kernels:
+
+- `pdot`: vectors sharded over one axis; each chip runs the local accessor
+  DOT, one `psum` combines partials (df64 partials psum component-wise —
+  hi/lo are a pytree).
+- `pgemv`: A sharded over a 2-D (rows × cols) mesh — row-parallel output,
+  column-parallel contraction with a `psum` over the cols axis (Megatron-style
+  tensor parallelism for a matvec); x rides sharded over cols, the result is
+  row-sharded.
+- `power_step`: a full mixed-precision iteration composed from the sharded
+  ops (the dryrun_multichip workload): y = alpha·A@x + beta·r, its norm via
+  sharded DOT, then a normalized update — exercising both mesh axes, psum on
+  each, and an XLA-inserted reshard between differently-sharded operands.
+
+Collectives ride ICI via the mesh; nothing here talks to DCN explicitly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops import df64 as dfm
+from ..ops import dot as dotops
+from ..ops import gemv as gemvops
+
+
+def make_mesh(n_devices: int | None = None, axes=("rows", "cols")) -> Mesh:
+    """A 2-D mesh over the first n devices: rows × cols, as square as the
+    device count allows (8 → 2×4)."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    devs = devs[:n_devices]
+    rows = 1
+    for cand in range(int(np.sqrt(n_devices)), 0, -1):
+        if n_devices % cand == 0:
+            rows = cand
+            break
+    return Mesh(np.array(devs).reshape(rows, n_devices // rows), axes)
+
+
+def pdot(x, y, mesh: Mesh, axis: str = "cols", ar: str = "f32", precise: bool = False):
+    """Sharded DOT: local accessor DOT per chip + psum over `axis`."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,  # pallas_call out_shapes carry no vma metadata
+    )
+    def f(xb, yb):
+        local = dotops.acc_dot(xb, yb, ar=ar, precise=precise)
+        return jax.lax.psum(local, axis)
+
+    return f(x, y)
+
+
+def pgemv(
+    a,
+    x,
+    res,
+    alpha=1.0,
+    beta=1.0,
+    ar: str = "f32",
+    *,
+    mesh: Mesh,
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+):
+    """Sharded GEMV: res = alpha·A@x + beta·res with A sharded (rows, cols),
+    x sharded (cols), res/result sharded (rows). One psum over the cols axis."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(row_axis, col_axis), P(col_axis), P(row_axis)),
+        out_specs=P(row_axis),
+        check_vma=False,  # pallas_call out_shapes carry no vma metadata
+    )
+    def f(a_blk, x_blk, r_blk):
+        zero = jnp.zeros_like(r_blk, jnp.float32)
+        part = gemvops.acc_gemv(a_blk, x_blk, zero, 1.0, 0.0, ar=ar)
+        total = jax.lax.psum(part, col_axis)
+        return (alpha * total + beta * r_blk.astype(jnp.float32)).astype(r_blk.dtype)
+
+    return f(a, x, res)
+
+
+def power_step(a, x, r, *, mesh: Mesh, ar: str = "f32"):
+    """One full sharded iteration (the dryrun/training-step workload):
+    y = A@x + r (TP psum over cols), nu = <y, y> (psum over rows),
+    x' = all-gathered y / sqrt(nu) resharded onto the cols axis."""
+    y = pgemv(a, x, r, 1.0, 1.0, ar=ar, mesh=mesh)
+    nu = pdot(y, y, mesh, axis="rows", ar=ar)
+    y_norm = y * jax.lax.rsqrt(nu.astype(jnp.float32) + 1e-30)
+    # reshard rows → cols for the next iteration (XLA inserts the collective)
+    x_next = jax.lax.with_sharding_constraint(
+        y_norm, NamedSharding(mesh, P("cols"))
+    )
+    return x_next, nu

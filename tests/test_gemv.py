@@ -1,0 +1,119 @@
+"""GEMV kernels vs numpy float64 oracle (BASELINE.json config 2 analogue:
+accessor-vs-plain parity, plus mixed-precision pairs, alpha/beta epilogue,
+ragged shapes)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from accblas_tpu.ops import gemv as gemvops
+from accblas_tpu.utils import MatrixInfo, gen_mtx
+
+
+def _data(m, n, seed=42):
+    a64 = gen_mtx(MatrixInfo(m, n), seed=seed)
+    x64 = gen_mtx(MatrixInfo(1, n), seed=seed + 1)[0]
+    r64 = gen_mtx(MatrixInfo(1, m), seed=seed + 2)[0]
+    return a64, x64, r64
+
+
+def _rel(got, ref):
+    return np.linalg.norm(np.asarray(got, np.float64) - ref, 1) / np.linalg.norm(ref, 1)
+
+
+@pytest.mark.parametrize("m,n", [(256, 512), (512, 256), (300, 700), (64, 100)])
+def test_gemv_f32_fixed(m, n):
+    a64, x64, r64 = _data(m, n)
+    ref = 1.0 * a64 @ x64 + 1.0 * r64
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    got = gemvops.gemv(a, x, r, 1.0, 1.0)
+    assert got.dtype == jnp.float32
+    assert _rel(got, ref) < 1e-5
+
+
+def test_gemv_alpha_beta_and_beta0():
+    m, n = 256, 384
+    a64, x64, r64 = _data(m, n, seed=7)
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    got = gemvops.gemv(a, x, r, 2.5, -0.5)
+    assert _rel(got, 2.5 * a64 @ x64 - 0.5 * r64) < 1e-5
+    # beta == 0 must not read res: pass NaNs
+    r_nan = jnp.full((m,), np.nan, jnp.float32)
+    got0 = gemvops.gemv(a, x, r_nan, 1.0, 0.0)
+    assert not np.any(np.isnan(np.asarray(got0)))
+    assert _rel(got0, a64 @ x64) < 1e-5
+
+
+def test_acc_gemv_df64_over_f32():
+    m, n = 256, 1024
+    a64, x64, r64 = _data(m, n, seed=3)
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    # oracle on stored values isolates arithmetic error
+    ref_stored = (
+        np.asarray(a, np.float64) @ np.asarray(x, np.float64) + np.asarray(r, np.float64)
+    )
+    got = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", precise=True)
+    assert got.dtype == jnp.float32
+    # result rounds to f32 on store => at the f32 floor, but arithmetic is exact:
+    assert _rel(got, ref_stored) < 2e-7
+    got_fast = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64")
+    assert _rel(got_fast, ref_stored) < 4e-7
+
+
+def test_acc_gemv_f32_over_bf16():
+    m, n = 256, 512
+    a64, x64, r64 = _data(m, n, seed=5)
+    ab = jnp.asarray(a64, jnp.float32).astype(jnp.bfloat16)
+    xb = jnp.asarray(x64, jnp.float32).astype(jnp.bfloat16)
+    r = jnp.asarray(r64, jnp.float32)
+    ref_stored = (
+        np.asarray(ab.astype(jnp.float32), np.float64)
+        @ np.asarray(xb.astype(jnp.float32), np.float64)
+        + np.asarray(r, np.float64)
+    )
+    got = gemvops.acc_gemv(ab, xb, r, 1.0, 1.0, ar="f32")
+    assert got.dtype == jnp.float32
+    assert _rel(got, ref_stored) < 1e-5
+
+
+def test_accessor_vs_plain_parity():
+    """Accessor f32-over-f32 must equal the plain fixed-precision kernel
+    bit-for-bit (same arithmetic, same schedule) — BASELINE.json config 2."""
+    m, n = 300, 500
+    a64, x64, r64 = _data(m, n, seed=11)
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    plain = gemvops.gemv(a, x, r, 1.5, 0.5)
+    acc = gemvops.acc_gemv(a, x, r, 1.5, 0.5, ar="f32")
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(acc))
+
+
+def test_xla_gemv_baseline():
+    m, n = 256, 256
+    a64, x64, r64 = _data(m, n, seed=13)
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    got = gemvops.xla_gemv(a, x, r, 1.0, 1.0)
+    assert _rel(got, a64 @ x64 + r64) < 1e-5
+
+
+def test_gemv_error_floor_property():
+    """Accessor<df64, f32> GEMV error ≈ storage floor; fixed f32 larger as n grows."""
+    m, n = 128, 4096
+    a64, x64, r64 = _data(m, n, seed=17)
+    ref = a64 @ x64
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    z = jnp.zeros((m,), jnp.float32)
+    e_acc = _rel(gemvops.acc_gemv(a, x, z, 1.0, 0.0, ar="df64", precise=True), ref)
+    e_fixed = _rel(gemvops.gemv(a, x, z, 1.0, 0.0), ref)
+    assert e_acc < 3e-7
+    assert e_fixed >= e_acc * 0.9  # fixed can't be meaningfully better

@@ -1,0 +1,85 @@
+"""Sharded BLAS on the virtual 8-device CPU mesh: pdot / pgemv / power_step
+and the driver entry points."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from accblas_tpu.parallel import make_mesh, pdot, pgemv, power_step
+from accblas_tpu.utils import MatrixInfo, gen_mtx
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_mesh_shape(mesh):
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("rows", "cols")
+
+
+def test_pdot_matches_local(mesh):
+    n = 8 * 1024
+    x64 = gen_mtx(MatrixInfo(1, n), seed=42)[0]
+    y64 = gen_mtx(MatrixInfo(1, n), seed=43)[0]
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    got = float(pdot(x, y, mesh, axis="cols", ar="f32"))
+    ref = x64 @ y64
+    assert abs(got - ref) / abs(ref) < 1e-5
+
+
+def test_pgemv_matches_local(mesh):
+    m, n = 512, 1024
+    a64 = gen_mtx(MatrixInfo(m, n), seed=1)
+    x64 = gen_mtx(MatrixInfo(1, n), seed=2)[0]
+    r64 = gen_mtx(MatrixInfo(1, m), seed=3)[0]
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    got = pgemv(a, x, r, 1.5, -0.5, ar="f32", mesh=mesh)
+    ref = 1.5 * a64 @ x64 - 0.5 * r64
+    rel = np.linalg.norm(np.asarray(got, np.float64) - ref, 1) / np.linalg.norm(ref, 1)
+    assert rel < 1e-5
+
+
+def test_power_step_jits_and_runs(mesh):
+    m, n = 512, 1024
+    a = jnp.asarray(gen_mtx(MatrixInfo(m, n), seed=5), jnp.float32).astype(jnp.bfloat16)
+    x = jnp.asarray(gen_mtx(MatrixInfo(1, n), seed=6)[0], jnp.float32).astype(jnp.bfloat16)
+    r = jnp.asarray(gen_mtx(MatrixInfo(1, m), seed=7)[0], jnp.float32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    a = jax.device_put(a, NamedSharding(mesh, P("rows", "cols")))
+    x = jax.device_put(x, NamedSharding(mesh, P("cols")))
+    r = jax.device_put(r, NamedSharding(mesh, P("rows")))
+    step = jax.jit(lambda a, x, r: power_step(a, x, r, mesh=mesh, ar="f32"))
+    x_next, nu = step(a, x, r)
+    jax.block_until_ready((x_next, nu))
+    assert np.isfinite(float(nu)) and float(nu) > 0
+    assert x_next.shape == (m,)
+
+
+def test_graft_entry_single_chip():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out.shape == (args[2].shape[0],)
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
+def test_graft_entry_multichip():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,96 @@
+"""TRSV kernels vs scipy/numpy float64 oracle.
+
+Mirrors the reference benchmark setup (``cuda/trsv_memory.cuh:150-163``): a
+random uniform(-1,1) matrix is LU-factorized in fp64 so its triangles are
+realistic L/U factors, then the packed factor matrix is handed to TRSV
+(upper/unit is the benchmark default, ``cuda/trsv_benchmark.cu:26-27``)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.linalg
+
+from accblas_tpu.ops import trsv as trsvops
+from accblas_tpu.utils import MatrixInfo, gen_mtx
+
+
+def _packed_lu(n, seed=42):
+    # diagonally-dominant so BOTH triangles of the packed factor are well
+    # conditioned even in unit-diagonal mode (the reference's raw
+    # uniform(-1,1) getrf factor makes upper/unit exponentially ill-
+    # conditioned — fine for timing, useless as a correctness oracle)
+    a64 = gen_mtx(MatrixInfo(n, n), seed=seed)
+    a64 += np.eye(n) * (0.25 * n)
+    lu, _ = scipy.linalg.lu_factor(a64)
+    b64 = gen_mtx(MatrixInfo(1, n), seed=seed + 1)[0]
+    return lu, b64
+
+
+def _ref_solve(lu, b, uplo, unit):
+    n = lu.shape[0]
+    t = np.tril(lu) if uplo == "lower" else np.triu(lu)
+    if unit:
+        np.fill_diagonal(t, 1.0)
+    return scipy.linalg.solve_triangular(t, b, lower=(uplo == "lower"), unit_diagonal=False)
+
+
+def _rel(got, ref):
+    return np.linalg.norm(np.asarray(got, np.float64) - ref, 1) / np.linalg.norm(ref, 1)
+
+
+@pytest.mark.parametrize("uplo,unit", [("upper", True), ("lower", True), ("upper", False), ("lower", False)])
+def test_trsv_f32_all_modes(uplo, unit):
+    n = 512  # 2 blocks
+    lu, b64 = _packed_lu(n)
+    ref = _ref_solve(lu, b64, uplo, unit)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    got = trsvops.trsv(a, b, uplo=uplo, unit=unit)
+    assert _rel(got, ref) < 5e-5, (uplo, unit)
+
+
+def test_trsv_multiblock_and_ragged():
+    # upper/non-unit and lower/unit are the naturally well-conditioned modes
+    # of an LU-packed factor (unit-upper discards the real diagonal and is
+    # exponentially ill-conditioned at any size)
+    for n, uplo, unit in ((1024, "upper", False), (1024, "lower", True), (700, "upper", False)):
+        lu, b64 = _packed_lu(n, seed=7)
+        ref = _ref_solve(lu, b64, uplo, unit)
+        got = trsvops.trsv(
+            jnp.asarray(lu, jnp.float32), jnp.asarray(b64, jnp.float32), uplo=uplo, unit=unit
+        )
+        assert _rel(got, ref) < 1e-4, (n, uplo, unit)
+
+
+def test_acc_trsv_f32_over_bf16():
+    n = 512
+    lu, b64 = _packed_lu(n, seed=3)
+    ab = jnp.asarray(lu, jnp.float32).astype(jnp.bfloat16)
+    b = jnp.asarray(b64, jnp.float32)
+    # oracle on the stored (bf16-rounded) triangle
+    lu_st = np.asarray(ab.astype(jnp.float32), np.float64)
+    ref = _ref_solve(lu_st, b64, "upper", False)
+    got = trsvops.acc_trsv(ab, b, uplo="upper", unit=False, ar="f32")
+    assert got.dtype == jnp.float32
+    assert _rel(got, ref) < 1e-3  # bf16 storage floor through a recurrence
+
+
+def test_acc_trsv_df64_refinement_beats_f32():
+    n = 768
+    lu, b64 = _packed_lu(n, seed=11)
+    ref = _ref_solve(lu, b64, "upper", False)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    e_f32 = _rel(trsvops.trsv(a, b, unit=False), ref)
+    e_ref = _rel(trsvops.acc_trsv(a, b, unit=False, ar="df64"), ref)
+    # refinement must improve on the plain f32 recurrence
+    assert e_ref <= e_f32
+    assert e_ref < 5e-6
+
+
+def test_xla_trsv_baseline():
+    n = 512
+    lu, b64 = _packed_lu(n, seed=13)
+    ref = _ref_solve(lu, b64, "upper", False)
+    got = trsvops.xla_trsv(jnp.asarray(lu, jnp.float32), jnp.asarray(b64, jnp.float32), unit=False)
+    assert _rel(got, ref) < 5e-5
