@@ -50,12 +50,12 @@ def fmt(v: float) -> str:
     return f"{v:.16e}"
 
 
-def emit_header(first_col: str, names: Sequence[str], file=sys.stdout):
-    print(DELIM.join([first_col] + list(names)), file=file, flush=True)
+def emit_header(first_col: str, names: Sequence[str], file=None):
+    print(DELIM.join([first_col] + list(names)), file=file or sys.stdout, flush=True)
 
 
-def emit_row(size: int, values: Sequence[float], file=sys.stdout):
-    print(DELIM.join([str(size)] + [fmt(v) for v in values]), file=file, flush=True)
+def emit_row(size: int, values: Sequence[float], file=None):
+    print(DELIM.join([str(size)] + [fmt(v) for v in values]), file=file or sys.stdout, flush=True)
 
 
 def parse_args(prog: str, default_size: int, min_size: int, extra=None):

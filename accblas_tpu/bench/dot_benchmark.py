@@ -12,75 +12,87 @@ under wider arithmetic → bf16 storage under f32, see SURVEY.md §7):
   DOT Acc<df64,bf16>  — accessor, widest gap
   XLA DOT fp32/bf16   — vendor tier (cuBLAS analogue)
 
-Protocol (BASELINE.md): warmup + 10 reps, min; error mode reports the median
-relative error over 10 re-randomizations vs the numpy fp64 master-data dot
-(reference ``cuda/dot_benchmark.cu:162-164,175,238-259``); seed 42,
-uniform(-1,1), subnormal-filtered.
+Timing: chained in-device loops, K-slope (utils.bench.benchmark_loop — the
+CUDA-event analogue). Error mode: median relative error over 10
+re-randomizations vs the numpy fp64 master-data dot (reference
+``cuda/dot_benchmark.cu:162-164,175,238-259``); seed 42, uniform(-1,1),
+subnormal-filtered. GFLOP/s = 2n / t.
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
 from . import common
 from ..utils import MatrixInfo, gen_mtx
-from ..utils.bench import benchmark_function
+from ..utils.bench import benchmark_loop
 
-MIN_SIZE = 2**20  # ~1e6, reference start (cuda/dot_benchmark.cu:26)
-DEFAULT_SIZE = 2**27  # 1.3e8 f64 master + copies fits comfortably in 16 GB HBM
+MIN_SIZE = 2**20
+DEFAULT_SIZE = 2**27
 ALIGN = 2**13
 
 
-def _make_benchmarks(jit, jnp, dotops, dfm, x32, y32, xb, yb, oracle):
-    def err_of(val):
-        return abs(val - oracle()) / abs(oracle())
+def _variants(jnp, dotops, dfm, bar):
+    """name -> (timing body builder, error fn builder).
 
-    run_f32 = jit(lambda a, b: dotops.dot(a, b))
-    run_bf16 = jit(lambda a, b: dotops.dot(a, b))
-    run_acc_df_f32 = jit(lambda a, b: dotops.acc_dot(a, b, ar="df64", precise=True))
-    run_acc_f32_bf16 = jit(lambda a, b: dotops.acc_dot(a, b, ar="f32"))
-    run_acc_df_bf16 = jit(lambda a, b: dotops.acc_dot(a, b, ar="df64", precise=True))
-    run_xla_f32 = jit(lambda a, b: dotops.xla_dot(a, b))
-    run_xla_bf16 = jit(lambda a, b: dotops.xla_dot(a, b))
+    Body builders take (x32, y32, xb, yb) device arrays and return
+    (body, carry0); error builders return a float vs-oracle error fn."""
+
+    def chain(c):
+        return c.astype(jnp.float32) * 1e-30
+
+    # timing bodies: body(c, x32, y32, xb, yb) — arrays ride as loop args,
+    # never as closures (closures bake multi-GB constants into the executable)
+    def v_fixed_f32(c, x32, y32, xb, yb):
+        return dotops.dot(x32, y32, init=chain(c))
+
+    def v_fixed_bf16(c, x32, y32, xb, yb):
+        return dotops.dot(xb, yb, init=chain(c)).astype(jnp.float32)
+
+    def v_acc_df_f32(c, x32, y32, xb, yb):
+        return dotops.acc_dot(x32, y32, ar="df64", precise=True, init=chain(c)).hi
+
+    def v_acc_f32_bf16(c, x32, y32, xb, yb):
+        return dotops.acc_dot(xb, yb, ar="f32", init=chain(c))
+
+    def v_acc_df_bf16(c, x32, y32, xb, yb):
+        return dotops.acc_dot(xb, yb, ar="df64", precise=True, init=chain(c)).hi
+
+    def v_xla_f32(c, x32, y32, xb, yb):
+        return jnp.dot(bar(x32, c), y32)
+
+    def v_xla_bf16(c, x32, y32, xb, yb):
+        return jnp.dot(bar(xb, c), yb).astype(jnp.float32)
+
+    def e_fixed_f32(x32, y32, xb, yb):
+        return lambda: float(dotops.dot(x32, y32))
+
+    def e_fixed_bf16(x32, y32, xb, yb):
+        return lambda: float(dotops.dot(xb, yb).astype(jnp.float32))
+
+    def e_acc_df_f32(x32, y32, xb, yb):
+        return lambda: float(dfm.df_to_f64(dotops.acc_dot(x32, y32, ar="df64", precise=True)))
+
+    def e_acc_f32_bf16(x32, y32, xb, yb):
+        return lambda: float(dotops.acc_dot(xb, yb, ar="f32"))
+
+    def e_acc_df_bf16(x32, y32, xb, yb):
+        return lambda: float(dfm.df_to_f64(dotops.acc_dot(xb, yb, ar="df64", precise=True)))
+
+    def e_xla_f32(x32, y32, xb, yb):
+        return lambda: float(jnp.dot(x32, y32))
+
+    def e_xla_bf16(x32, y32, xb, yb):
+        return lambda: float(jnp.dot(xb, yb).astype(jnp.float32))
 
     return [
-        common.BenchmarkInfo(
-            "DOT fp32",
-            lambda: run_f32(x32(), y32()),
-            lambda: err_of(float(run_f32(x32(), y32()))),
-        ),
-        common.BenchmarkInfo(
-            "DOT bf16",
-            lambda: run_bf16(xb(), yb()),
-            lambda: err_of(float(run_bf16(xb(), yb()).astype(jnp.float32))),
-        ),
-        common.BenchmarkInfo(
-            "DOT Acc<df64,f32>",
-            lambda: run_acc_df_f32(x32(), y32()),
-            lambda: err_of(float(dfm.df_to_f64(run_acc_df_f32(x32(), y32())))),
-        ),
-        common.BenchmarkInfo(
-            "DOT Acc<f32,bf16>",
-            lambda: run_acc_f32_bf16(xb(), yb()),
-            lambda: err_of(float(run_acc_f32_bf16(xb(), yb()))),
-        ),
-        common.BenchmarkInfo(
-            "DOT Acc<df64,bf16>",
-            lambda: run_acc_df_bf16(xb(), yb()),
-            lambda: err_of(float(dfm.df_to_f64(run_acc_df_bf16(xb(), yb())))),
-        ),
-        common.BenchmarkInfo(
-            "XLA DOT fp32",
-            lambda: run_xla_f32(x32(), y32()),
-            lambda: err_of(float(run_xla_f32(x32(), y32()))),
-        ),
-        common.BenchmarkInfo(
-            "XLA DOT bf16",
-            lambda: run_xla_bf16(xb(), yb()),
-            lambda: err_of(float(run_xla_bf16(xb(), yb()).astype(jnp.float32))),
-        ),
+        ("DOT fp32", v_fixed_f32, e_fixed_f32),
+        ("DOT bf16", v_fixed_bf16, e_fixed_bf16),
+        ("DOT Acc<df64,f32>", v_acc_df_f32, e_acc_df_f32),
+        ("DOT Acc<f32,bf16>", v_acc_f32_bf16, e_acc_f32_bf16),
+        ("DOT Acc<df64,bf16>", v_acc_df_bf16, e_acc_df_bf16),
+        ("XLA DOT fp32", v_xla_f32, e_xla_f32),
+        ("XLA DOT bf16", v_xla_bf16, e_xla_bf16),
     ]
 
 
@@ -93,11 +105,16 @@ def main():
     from ..ops import dot as dotops
     from ..ops import df64 as dfm
 
-    max_n = common.sweep_sizes(args, MIN_SIZE, ALIGN, 0)[-1] if args.sweep != "dense" else args.size
-    sizes = common.sweep_sizes(args, MIN_SIZE, ALIGN, dense_step=2 * 10**6)
+    def bar(x, c):
+        # ties the operand to the loop carry so XLA cannot hoist the
+        # loop-invariant op out of the timing loop
+        return jax.lax.optimization_barrier((x, c))[0]
 
-    # master data: fp64 on host (seed 42, uniform(-1,1), subnormal-filtered,
-    # reference cuda/dot_benchmark.cu:71-76); device copies in each storage
+    sizes = common.sweep_sizes(args, MIN_SIZE, ALIGN, dense_step=2 * 10**6)
+    variants = _variants(jnp, dotops, dfm, bar)
+    names = [v[0] for v in variants]
+    common.emit_header("n", names)
+
     x64 = gen_mtx(MatrixInfo(1, max(sizes)), seed=42)[0]
     y64 = gen_mtx(MatrixInfo(1, max(sizes)), seed=43)[0]
     x32_full = jax.device_put(x64.astype(np.float32))
@@ -105,66 +122,33 @@ def main():
     xb_full = x32_full.astype(jnp.bfloat16)
     yb_full = y32_full.astype(jnp.bfloat16)
 
-    names = None
-    rows = []
     for n in sizes:
-        x32v, y32v = x32_full[:n], y32_full[:n]
-        xbv, ybv = xb_full[:n], yb_full[:n]
-        state = {"oracle": None}
-
-        def oracle():
-            if state["oracle"] is None:
-                state["oracle"] = x64[:n] @ y64[:n]
-            return state["oracle"]
-
-        benches = _make_benchmarks(
-            jax.jit,
-            jnp,
-            dotops,
-            dfm,
-            lambda: x32v,
-            lambda: y32v,
-            lambda: xbv,
-            lambda: ybv,
-            oracle,
-        )
-        if names is None:
-            names = [b.name for b in benches]
-            common.emit_header("n", names)
-
+        arrays = (x32_full[:n], y32_full[:n], xb_full[:n], yb_full[:n])
         if args.error:
-            # median over re-randomizations (reference: 10)
-            errs = {b.name: [] for b in benches}
+            errs = {nm: [] for nm in names}
             for r in range(args.randomizations):
-                if r > 0:
-                    xr = gen_mtx(MatrixInfo(1, n), seed=1000 + r)[0]
-                    yr = gen_mtx(MatrixInfo(1, n), seed=2000 + r)[0]
-                    x64[:n], y64[:n] = xr, yr
-                    x32v = jax.device_put(xr.astype(np.float32))
-                    y32v = jax.device_put(yr.astype(np.float32))
-                    xbv = x32v.astype(jnp.bfloat16)
-                    ybv = y32v.astype(jnp.bfloat16)
-                    state["oracle"] = None
-                    benches = _make_benchmarks(
-                        jax.jit, jnp, dotops, dfm,
-                        functools.partial(lambda v: v, x32v),
-                        functools.partial(lambda v: v, y32v),
-                        functools.partial(lambda v: v, xbv),
-                        functools.partial(lambda v: v, ybv),
-                        oracle,
-                    )
-                for b in benches:
-                    errs[b.name].append(b.error())
-            rows.append((n, [common.median(errs[nm]) for nm in names]))
-            common.emit_row(n, rows[-1][1])
+                if r == 0:
+                    xr64, yr64 = x64[:n], y64[:n]
+                    arrs = arrays
+                else:
+                    # re-randomize (reference write_random + convert_from,
+                    # cuda/dot_benchmark.cu:195-200)
+                    xr64 = gen_mtx(MatrixInfo(1, n), seed=1000 + r)[0]
+                    yr64 = gen_mtx(MatrixInfo(1, n), seed=2000 + r)[0]
+                    x32 = jax.device_put(xr64.astype(np.float32))
+                    y32 = jax.device_put(yr64.astype(np.float32))
+                    arrs = (x32, y32, x32.astype(jnp.bfloat16), y32.astype(jnp.bfloat16))
+                ref = xr64 @ yr64
+                for nm, _, e_build in variants:
+                    got = e_build(*arrs)()
+                    errs[nm].append(abs(got - ref) / abs(ref))
+            common.emit_row(n, [common.median(errs[nm]) for nm in names])
         else:
             vals = []
-            for b in benches:
-                ms = benchmark_function(b.run)
-                vals.append(2.0 * n / (ms * 1e-3) / 1e9)  # GFLOP/s
+            for nm, v_body, _ in variants:
+                ms = benchmark_loop(v_body, jnp.float32(0.0), args=arrays)
+                vals.append(2.0 * n / (ms * 1e-3) / 1e9)
             common.emit_row(n, vals)
-
-    return rows
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ import numpy as np
 
 from . import common
 from ..utils import MatrixInfo, gen_mtx
-from ..utils.bench import benchmark_function
+from ..utils.bench import benchmark_loop
 from ..utils.compare import relative_error
 
 MIN_SIZE = 1024
@@ -92,9 +92,13 @@ def main():
                 for fn, ops_ in entries
             ]
         else:
+            # chained loop timing: res is the carry (each iteration's output
+            # feeds the next call's res operand)
             vals = []
             for fn, ops_ in entries:
-                ms = benchmark_function(lambda fn=fn, ops_=ops_: fn(*ops_))
+                a_, x_, r_ = ops_
+                body = lambda c, a_, x_, fn=fn: fn(a_, x_, c)
+                ms = benchmark_loop(body, r_, args=(a_, x_))
                 vals.append(2.0 * n * n / (ms * 1e-3) / 1e9)
         common.emit_row(n, vals)
 

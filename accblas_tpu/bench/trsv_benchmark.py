@@ -16,7 +16,7 @@ import numpy as np
 
 from . import common
 from ..utils import MatrixInfo, gen_mtx
-from ..utils.bench import benchmark_function
+from ..utils.bench import benchmark_loop
 from ..utils.compare import relative_error
 
 MIN_SIZE = 1024
@@ -26,7 +26,15 @@ UPLO, UNIT = "upper", True  # reference: tmtx_t::upper, dmtx_t::unit
 
 
 def main():
-    args = common.parse_args("trsv_benchmark", DEFAULT_SIZE, MIN_SIZE)
+    def extra(p):
+        p.add_argument("--uplo", choices=["upper", "lower"], default=UPLO)
+        p.add_argument("--no-unit", dest="unit", action="store_false", default=UNIT,
+                       help="non-unit diagonal (the reference hardcodes unit; "
+                       "unit-upper on an LU factor is exponentially ill-conditioned, "
+                       "so error studies should pass --no-unit)")
+
+    args = common.parse_args("trsv_benchmark", DEFAULT_SIZE, MIN_SIZE, extra=extra)
+    uplo, unit = args.uplo, args.unit
     common.enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -44,11 +52,11 @@ def main():
     b32_full = jax.device_put(b64.astype(np.float32))
     ab_full = a32_full.astype(jnp.bfloat16)
 
-    run_f32 = jax.jit(lambda a, b: trsvops.trsv(a, b, UPLO, UNIT))
-    run_acc_f32 = jax.jit(lambda a, b: trsvops.acc_trsv(a, b, UPLO, UNIT, ar="f32"))
-    run_acc_f32b = jax.jit(lambda a, b: trsvops.acc_trsv(a, b, UPLO, UNIT, ar="f32"))
-    run_acc_df = jax.jit(lambda a, b: trsvops.acc_trsv(a, b, UPLO, UNIT, ar="df64"))
-    run_xla = jax.jit(lambda a, b: trsvops.xla_trsv(a, b, UPLO, UNIT))
+    run_f32 = jax.jit(lambda a, b: trsvops.trsv(a, b, uplo, unit))
+    run_acc_f32 = jax.jit(lambda a, b: trsvops.acc_trsv(a, b, uplo, unit, ar="f32"))
+    run_acc_f32b = jax.jit(lambda a, b: trsvops.acc_trsv(a, b, uplo, unit, ar="f32"))
+    run_acc_df = jax.jit(lambda a, b: trsvops.acc_trsv(a, b, uplo, unit, ar="df64"))
+    run_xla = jax.jit(lambda a, b: trsvops.xla_trsv(a, b, uplo, unit))
 
     names = [
         "TRSV fp32",
@@ -73,17 +81,28 @@ def main():
         ]
 
         if args.error:
-            t = np.triu(lu64[:n, :n])
-            np.fill_diagonal(t, 1.0)
-            ref = scipy.linalg.solve_triangular(t, b64[:n], lower=False)
+            t = np.triu(lu64[:n, :n]) if uplo == "upper" else np.tril(lu64[:n, :n])
+            if unit:
+                np.fill_diagonal(t, 1.0)
+            ref = scipy.linalg.solve_triangular(t, b64[:n], lower=(uplo == "lower"))
             vals = [
                 relative_error(np.asarray(fn(*ops_), np.float64), ref)
                 for fn, ops_ in entries
             ]
         else:
+            # chained loop timing: the previous solution is barrier-tied to b
+            # so XLA cannot hoist the solve out of the timing loop
+            import jax as _jax
+
             vals = []
             for fn, ops_ in entries:
-                ms = benchmark_function(lambda fn=fn, ops_=ops_: fn(*ops_))
+                a_, b_ = ops_
+
+                def body(c, a_, b_, fn=fn):
+                    b_c = _jax.lax.optimization_barrier((b_, c))[0]
+                    return fn(a_, b_c)
+
+                ms = benchmark_loop(body, b_, args=(a_, b_))
                 vals.append(n * n / (ms * 1e-3) / 1e9)  # GFLOP/s (n^2 flops)
         common.emit_row(n, vals)
 

@@ -41,6 +41,7 @@ MAX_BLOCK_ROWS = 1024  # (1024, 128) f32 tile = 512 KiB per operand per buffer
 
 
 def _dot_kernel(
+    init_ref,
     x_ref,
     y_ref,
     hi_ref,
@@ -61,7 +62,15 @@ def _dot_kernel(
 
     @pl.when(i == 0)
     def _init():
-        acc_hi[...] = jnp.zeros_like(acc_hi)
+        # seed the accumulator with the runtime init scalar at [0, 0]
+        # ("accumulate into" semantics; also the chain point for loop-timed
+        # benchmarking). One-hot write keeps sub-32-bit dtypes array-level.
+        rid = jax.lax.broadcasted_iota(jnp.int32, acc_hi.shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, acc_hi.shape, 1)
+        seed = jnp.where(
+            (rid == 0) & (cid == 0), init_ref[0, 0], jnp.float32(0.0)
+        ).astype(acc_hi.dtype)
+        acc_hi[...] = seed
         acc_lo[...] = jnp.zeros_like(acc_lo)
 
     rx = Range(spec_x, x_ref, const=True)
@@ -118,7 +127,7 @@ def _dot_kernel(
             lo_ref[0, 0] = jnp.float32(0.0)
 
 
-def _dot_call(x, y, ar: str, precise: bool, interpret):
+def _dot_call(x, y, ar: str, precise: bool, interpret, init=None):
     if x.shape != y.shape or x.ndim != 1:
         raise ValueError(f"dot expects equal-length vectors, got {x.shape} {y.shape}")
     spec_x = ReducedRowMajor(ar, dtypes.canon(x.dtype))
@@ -146,10 +155,12 @@ def _dot_call(x, y, ar: str, precise: bool, interpret):
         n_steps=n_steps,
         precise=precise,
     )
+    init2 = jnp.full((1, 1), 0.0 if init is None else init, jnp.float32)
     hi, lo = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -173,22 +184,25 @@ def _dot_call(x, y, ar: str, precise: bool, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, y2)
+    )(init2, x2, y2)
     return hi[0, 0], lo[0, 0]
 
 
-def dot(x, y, *, interpret=None):
+def dot(x, y, *, init=None, interpret=None):
     """Fixed-precision DOT: arithmetic type == storage type.
 
     The hand-written variant tier (reference ``dot`` launcher,
     ``cuda/dot_kernels.cuh:192-206``). Returns a scalar in the storage dtype.
+    `init` seeds the accumulator (default 0).
     """
     ar = dtypes.canon(x.dtype)
-    hi, _ = _dot_call(x, y, ar, precise=False, interpret=interpret)
+    hi, _ = _dot_call(x, y, ar, precise=False, interpret=interpret, init=init)
     return hi.astype(dtypes.jnp_dtype(ar))
 
 
-def acc_dot(x, y, ar="df64", *, precise: bool = False, res_dtype=None, interpret=None):
+def acc_dot(
+    x, y, ar="df64", *, precise: bool = False, res_dtype=None, init=None, interpret=None
+):
     """Accessor mixed-precision DOT (reference ``acc_dot``,
     ``cuda/dot_kernels.cuh:224-263``).
 
@@ -203,7 +217,7 @@ def acc_dot(x, y, ar="df64", *, precise: bool = False, res_dtype=None, interpret
     ``cast_result`` analogue (``cuda/dot_kernels.cuh:168-173``).
     """
     ar = dtypes.canon(ar)
-    hi, lo = _dot_call(x, y, ar, precise=precise, interpret=interpret)
+    hi, lo = _dot_call(x, y, ar, precise=precise, interpret=interpret, init=init)
     if ar == "df64":
         out = dfm.DF(hi, lo)
         if res_dtype is not None:

@@ -1,0 +1,107 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Metric: accessor mixed-precision DOT throughput with half-width storage —
+the reference repo's headline benchmark, hardware-mapped:
+
+  reference (A100): DOT Acc<fp64 arith, fp32 storage>  ≈ 354 GFLOP/s
+                    (BASELINE.md, plots/a100_dot_flops.svg endpoint n≈5.35e8)
+  here (TPU):       DOT Acc<f32 arith, bf16 storage>   at n = 2^29 ≈ 5.37e8
+
+Both run arithmetic at twice the storage width and are HBM-bandwidth-bound at
+2 bytes... 4 bytes per element-pair respectively of their native widths — the
+"accessor runs at storage speed" claim measured at the same n, so GFLOP/s are
+directly comparable across the two machines' HBM. vs_baseline = value / 354.
+
+Timing: chained in-device loops, K-slope (utils.bench.benchmark_loop) — the
+CUDA-event analogue that excludes host/tunnel dispatch latency. Details for
+all kernel families land in BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+N_DOT = 2**29  # matches the reference sweep endpoint n ≈ 5.35e8
+N_GEMV = 16384
+BASELINE_DOT_ACC_GFLOPS = 354.0  # A100 Acc<fp64,fp32> endpoint, BASELINE.md
+
+
+def main():
+    from accblas_tpu.bench.common import device_info, enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from accblas_tpu.ops import dot as dotops
+    from accblas_tpu.ops import gemv as gemvops
+    from accblas_tpu.utils import MatrixInfo, gen_mtx
+    from accblas_tpu.utils.bench import benchmark_loop
+
+    kind, hbm_gbps = device_info()
+    details = {"device": kind, "hbm_peak_gbps": hbm_gbps}
+
+    # ---- headline: DOT Acc<f32, bf16> at n = 2^29 ----
+    x64 = gen_mtx(MatrixInfo(1, N_DOT), seed=42)[0]
+    y64 = gen_mtx(MatrixInfo(1, N_DOT), seed=43)[0]
+    xb = jax.device_put(x64.astype(np.float32)).astype(jnp.bfloat16)
+    yb = jax.device_put(y64.astype(np.float32)).astype(jnp.bfloat16)
+    del x64, y64
+
+    ms = benchmark_loop(
+        lambda c, xb, yb: dotops.acc_dot(xb, yb, ar="f32", init=c * 1e-30),
+        jnp.float32(0.0),
+        args=(xb, yb),
+    )
+    dot_gflops = 2.0 * N_DOT / (ms * 1e-3) / 1e9
+    dot_gbps = 2.0 * 2 * N_DOT / (ms * 1e-3) / 1e9
+    details["dot_acc_f32_bf16"] = {
+        "n": N_DOT,
+        "ms": ms,
+        "gflops": dot_gflops,
+        "eff_gbps": dot_gbps,
+        "pct_hbm_roofline": 100.0 * dot_gbps / hbm_gbps,
+    }
+    del xb, yb
+
+    # ---- context: GEMV Acc<f32, bf16> at 16384^2 ----
+    a64 = gen_mtx(MatrixInfo(N_GEMV, N_GEMV), seed=42)
+    ab = jax.device_put(a64.astype(np.float32)).astype(jnp.bfloat16)
+    del a64
+    xg = jax.device_put(gen_mtx(MatrixInfo(1, N_GEMV), seed=43)[0].astype(np.float32)).astype(jnp.bfloat16)
+    rg = jax.device_put(gen_mtx(MatrixInfo(1, N_GEMV), seed=44)[0].astype(np.float32))
+    ms_g = benchmark_loop(
+        lambda c, ab, xg: gemvops.acc_gemv(ab, xg, c, 1.0, 0.0, ar="f32"),
+        rg,
+        args=(ab, xg),
+    )
+    gemv_gflops = 2.0 * N_GEMV * N_GEMV / (ms_g * 1e-3) / 1e9
+    gemv_gbps = 2.0 * N_GEMV * N_GEMV / (ms_g * 1e-3) / 1e9  # 2 B/elem, 2 flop/elem
+    details["gemv_acc_f32_bf16"] = {
+        "n": N_GEMV,
+        "ms": ms_g,
+        "gflops": gemv_gflops,
+        "eff_gbps": gemv_gbps,
+        "pct_hbm_roofline": 100.0 * gemv_gbps / hbm_gbps,
+    }
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+    print(json.dumps(details, indent=2), file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "dot_acc_half_storage_gflops",
+                "value": round(dot_gflops, 1),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(dot_gflops / BASELINE_DOT_ACC_GFLOPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

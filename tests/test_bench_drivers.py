@@ -1,0 +1,86 @@
+"""Driver smoke tests: CSV schema, flag surface, error protocol (CPU mesh,
+small single sizes)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run_main(module, argv, capsys):
+    old = sys.argv
+    sys.argv = argv
+    try:
+        module.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out.strip().splitlines()
+    header = out[0].split(";")
+    rows = [ln.split(";") for ln in out[1:]]
+    return header, rows
+
+
+def test_dot_driver_error_mode(capsys):
+    from accblas_tpu.bench import dot_benchmark as d
+
+    header, rows = _run_main(
+        d,
+        ["dot_benchmark", "--error", "--size=1048576", "--sweep=single", "--randomizations=2"],
+        capsys,
+    )
+    assert header[0] == "n"
+    assert "DOT Acc<df64,f32>" in header and "XLA DOT fp32" in header
+    assert len(rows) == 1 and len(rows[0]) == len(header)
+    vals = dict(zip(header[1:], map(float, rows[0][1:])))
+    # accessor df64 must sit at/below the f32 storage floor; bf16 tiers worse
+    assert vals["DOT Acc<df64,f32>"] < 1e-6
+    assert vals["DOT Acc<f32,bf16>"] < 0.02
+    assert vals["DOT bf16"] > vals["DOT Acc<df64,f32>"]
+
+
+def test_gemv_driver_error_mode(capsys):
+    from accblas_tpu.bench import gemv_benchmark as g
+
+    header, rows = _run_main(
+        g, ["gemv_benchmark", "--error", "--size=1024", "--sweep=single"], capsys
+    )
+    assert header[0] == "rows" and len(rows) == 1
+    vals = dict(zip(header[1:], map(float, rows[0][1:])))
+    assert vals["GEMV Acc<df64,f32>"] < 5e-7
+    assert vals["GEMV fp32"] < 1e-5
+    assert vals["GEMV bf16"] > vals["GEMV Acc<f32,bf16>"]
+
+
+def test_trsv_driver_error_mode(capsys):
+    from accblas_tpu.bench import trsv_benchmark as t
+
+    header, rows = _run_main(
+        t,
+        ["trsv_benchmark", "--error", "--size=1024", "--sweep=single", "--no-unit"],
+        capsys,
+    )
+    assert header[0] == "n" and len(rows) == 1
+    vals = dict(zip(header[1:], map(float, rows[0][1:])))
+    assert vals["TRSV fp32"] < 1e-2
+    assert vals["XLA TRSV fp32"] < 1e-2
+    assert vals["TRSV Acc<df64,f32>"] <= vals["TRSV fp32"] * 1.5
+
+
+def test_benchmark_loop_on_cpu():
+    import jax.numpy as jnp
+
+    from accblas_tpu.utils.bench import benchmark_loop
+
+    body = lambda c: c * 1.0000001 + 1e-9
+    ms = benchmark_loop(body, jnp.float32(1.0), reps=1, target_ms=20.0)
+    assert ms >= 0.0
+
+
+def test_plot_generation(tmp_path):
+    from accblas_tpu.bench import plot
+
+    csv = tmp_path / "demo.csv"
+    csv.write_text("n;A;B\n1024;1.0e+00;2.0e+00\n2048;2.0e+00;3.0e+00\n")
+    out = tmp_path / "demo.svg"
+    plot.make_plot(str(csv), "flops", str(out))
+    assert out.exists() and (tmp_path / "demo.pdf").exists()
