@@ -32,7 +32,7 @@ DEFAULT_SIZE = 2**27
 ALIGN = 2**13
 
 
-def _variants(jnp, dotops, dfm, bar):
+def _variants(jnp, dotops, dfm):
     """name -> (timing body builder, error fn builder).
 
     Body builders take (x32, y32, xb, yb) device arrays and return
@@ -58,11 +58,19 @@ def _variants(jnp, dotops, dfm, bar):
     def v_acc_df_bf16(c, x32, y32, xb, yb):
         return dotops.acc_dot(xb, yb, ar="df64", precise=True, init=chain(c)).hi
 
+    # XLA-tier chaining: jnp.dot has no seed input, so the carry perturbs one
+    # element of a *carried* copy of y (O(1): while-loop carries alias in
+    # place). optimization_barrier tuples proved unable to pin loop-invariant
+    # work on this toolchain.
     def v_xla_f32(c, x32, y32, xb, yb):
-        return jnp.dot(bar(x32, c), y32)
+        s, yc = c
+        yc = yc.at[0].add(s * 1e-42)
+        return jnp.dot(x32, yc), yc
 
     def v_xla_bf16(c, x32, y32, xb, yb):
-        return jnp.dot(bar(xb, c), yb).astype(jnp.float32)
+        s, yc = c
+        yc = yc.at[0].add((s * 1e-30).astype(yc.dtype))
+        return jnp.dot(xb, yc).astype(jnp.float32), yc
 
     def e_fixed_f32(x32, y32, xb, yb):
         return lambda: float(dotops.dot(x32, y32))
@@ -85,14 +93,23 @@ def _variants(jnp, dotops, dfm, bar):
     def e_xla_bf16(x32, y32, xb, yb):
         return lambda: float(jnp.dot(xb, yb).astype(jnp.float32))
 
+    def c_scalar(arrays):
+        return jnp.float32(0.0)
+
+    def c_with_y32(arrays):
+        return (jnp.float32(0.0), arrays[1])
+
+    def c_with_ybf(arrays):
+        return (jnp.float32(0.0), arrays[3])
+
     return [
-        ("DOT fp32", v_fixed_f32, e_fixed_f32),
-        ("DOT bf16", v_fixed_bf16, e_fixed_bf16),
-        ("DOT Acc<df64,f32>", v_acc_df_f32, e_acc_df_f32),
-        ("DOT Acc<f32,bf16>", v_acc_f32_bf16, e_acc_f32_bf16),
-        ("DOT Acc<df64,bf16>", v_acc_df_bf16, e_acc_df_bf16),
-        ("XLA DOT fp32", v_xla_f32, e_xla_f32),
-        ("XLA DOT bf16", v_xla_bf16, e_xla_bf16),
+        ("DOT fp32", v_fixed_f32, c_scalar, e_fixed_f32),
+        ("DOT bf16", v_fixed_bf16, c_scalar, e_fixed_bf16),
+        ("DOT Acc<df64,f32>", v_acc_df_f32, c_scalar, e_acc_df_f32),
+        ("DOT Acc<f32,bf16>", v_acc_f32_bf16, c_scalar, e_acc_f32_bf16),
+        ("DOT Acc<df64,bf16>", v_acc_df_bf16, c_scalar, e_acc_df_bf16),
+        ("XLA DOT fp32", v_xla_f32, c_with_y32, e_xla_f32),
+        ("XLA DOT bf16", v_xla_bf16, c_with_ybf, e_xla_bf16),
     ]
 
 
@@ -105,13 +122,8 @@ def main():
     from ..ops import dot as dotops
     from ..ops import df64 as dfm
 
-    def bar(x, c):
-        # ties the operand to the loop carry so XLA cannot hoist the
-        # loop-invariant op out of the timing loop
-        return jax.lax.optimization_barrier((x, c))[0]
-
     sizes = common.sweep_sizes(args, MIN_SIZE, ALIGN, dense_step=2 * 10**6)
-    variants = _variants(jnp, dotops, dfm, bar)
+    variants = _variants(jnp, dotops, dfm)
     names = [v[0] for v in variants]
     common.emit_header("n", names)
 
@@ -139,14 +151,14 @@ def main():
                     y32 = jax.device_put(yr64.astype(np.float32))
                     arrs = (x32, y32, x32.astype(jnp.bfloat16), y32.astype(jnp.bfloat16))
                 ref = xr64 @ yr64
-                for nm, _, e_build in variants:
+                for nm, _, _, e_build in variants:
                     got = e_build(*arrs)()
                     errs[nm].append(abs(got - ref) / abs(ref))
             common.emit_row(n, [common.median(errs[nm]) for nm in names])
         else:
             vals = []
-            for nm, v_body, _ in variants:
-                ms = benchmark_loop(v_body, jnp.float32(0.0), args=arrays)
+            for nm, v_body, make_c0, _ in variants:
+                ms = benchmark_loop(v_body, make_c0(arrays), args=arrays)
                 vals.append(2.0 * n / (ms * 1e-3) / 1e9)
             common.emit_row(n, vals)
 

@@ -90,17 +90,16 @@ def main():
                 for fn, ops_ in entries
             ]
         else:
-            # chained loop timing: the previous solution is barrier-tied to b
-            # so XLA cannot hoist the solve out of the timing loop
-            import jax as _jax
-
+            # chained loop timing: the previous solution (clipped, so repeated
+            # ill-conditioned solves stay bounded) becomes the next rhs — a
+            # true data dependence; optimization_barrier tuples proved
+            # unreliable for pinning loop-invariant work on this toolchain
             vals = []
             for fn, ops_ in entries:
                 a_, b_ = ops_
 
                 def body(c, a_, b_, fn=fn):
-                    b_c = _jax.lax.optimization_barrier((b_, c))[0]
-                    return fn(a_, b_c)
+                    return fn(a_, jnp.clip(c, -1.0, 1.0).astype(b_.dtype))
 
                 ms = benchmark_loop(body, b_, args=(a_, b_))
                 vals.append(n * n / (ms * 1e-3) / 1e9)  # GFLOP/s (n^2 flops)
