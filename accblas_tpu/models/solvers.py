@@ -1,0 +1,113 @@
+"""Mixed-precision iterative solvers — the application tier.
+
+The reference is a kernel showcase; its "application" is the benchmark
+drivers. This module is the end-to-end demonstration of what the accessor
+buys: Krylov/stationary solvers whose *storage* is cheap (bf16/f32 operands
+stream at storage bandwidth) while the *arithmetic* that controls convergence
+(dot products, residual accumulation) runs wider (f32 MXU accumulate or df64).
+This is the classic mixed-precision-solver use case the accessor paper/Ginkgo
+target (the repo under rebuild is Ginkgo's accessor demonstrator).
+
+Everything is jit-compatible: loops are `lax.while_loop` / `lax.scan`, shapes
+static, kernels Pallas.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import df64 as dfm
+from ..ops import dot as dotops
+from ..ops import gemv as gemvops
+
+
+def _matvec(a, x, ar: str):
+    """alpha=1, beta=0 accessor GEMV returning f32."""
+    z = jnp.zeros((a.shape[0],), jnp.float32)
+    return gemvops.acc_gemv(a, x.astype(a.dtype), z, 1.0, 0.0, ar=ar)
+
+
+def _dot(x, y, ar: str):
+    out = dotops.acc_dot(x, y, ar=ar, precise=(ar == "df64"))
+    if isinstance(out, dfm.DF):
+        return dfm.df_to_f32(out)
+    return out.astype(jnp.float32)
+
+
+class CGState(NamedTuple):
+    x: jnp.ndarray
+    r: jnp.ndarray
+    p: jnp.ndarray
+    rs: jnp.ndarray
+    it: jnp.ndarray
+
+
+def cg(a, b, *, iters: int = 50, ar: str = "f32", tol: float = 0.0):
+    """Conjugate gradients on an SPD matrix with accessor kernels.
+
+    Storage dtype comes from `a` (bf16/f16/f32); `ar` sets the arithmetic
+    tier for the matvec and the two dot products per iteration ('f32' or
+    'df64' — df64 dots stabilize the recurrence when storage is narrow).
+    Returns (x, final |r|^2, iterations run).
+    """
+    b32 = b.astype(jnp.float32)
+    x0 = jnp.zeros_like(b32)
+    r0 = b32
+    state0 = CGState(x0, r0, r0, _dot(r0, r0, ar), jnp.int32(0))
+    tol2 = jnp.float32(tol) ** 2 * _dot(b32, b32, ar)
+
+    def cond(s: CGState):
+        return jnp.logical_and(s.it < iters, s.rs > tol2)
+
+    def body(s: CGState):
+        ap = _matvec(a, s.p, ar)
+        alpha = s.rs / _dot(s.p, ap, ar)
+        x = s.x + alpha * s.p
+        r = s.r - alpha * ap
+        rs_new = _dot(r, r, ar)
+        p = r + (rs_new / s.rs) * s.p
+        return CGState(x, r, p, rs_new, s.it + 1)
+
+    out = jax.lax.while_loop(cond, body, state0)
+    return out.x, out.rs, out.it
+
+
+def richardson_refine(a_lo, a_hi, b, *, iters: int = 5, omega: float = 1.0, ar: str = "df64"):
+    """Mixed-precision iterative refinement / Richardson iteration:
+    the *preconditioner* matvec streams the cheap storage copy `a_lo`
+    (e.g. bf16), while the residual is evaluated against the accurate copy
+    `a_hi` (f32) with `ar` arithmetic — the storage/arithmetic decoupling in
+    solver form. Solves a x = b for diagonally-dominant a.
+    """
+    b32 = b.astype(jnp.float32)
+    x0 = jnp.zeros_like(b32)
+
+    def body(x, _):
+        r = b32 - _matvec(a_hi, x, ar)
+        x = x + omega * r
+        return x, _dot(r, r, "f32")
+
+    x, rhist = jax.lax.scan(body, x0, None, length=iters)
+    return x, rhist
+
+
+def power_method(a, *, iters: int = 20, ar: str = "f32", seed: int = 0):
+    """Dominant-eigenvalue estimate via accessor GEMV + DOT (single chip;
+    the sharded variant is accblas_tpu.parallel.power_step)."""
+    n = a.shape[1]
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (n,), jnp.float32)
+    x = x / jnp.sqrt(_dot(x, x, ar))
+
+    def body(x, _):
+        y = _matvec(a, x, ar)
+        lam = _dot(x.astype(jnp.float32), y, ar)
+        y = y / jnp.sqrt(_dot(y, y, ar))
+        return y, lam
+
+    x, lams = jax.lax.scan(body, x, None, length=iters)
+    return x, lams[-1]

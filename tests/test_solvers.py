@@ -1,0 +1,69 @@
+"""Application-tier solvers built on accessor kernels (CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from accblas_tpu.models import cg, power_method, richardson_refine
+from accblas_tpu.utils import MatrixInfo, gen_mtx
+
+
+def _spd(n, seed=42):
+    m = gen_mtx(MatrixInfo(n, n), seed=seed)
+    a = m @ m.T / n + np.eye(n) * 2.0
+    return a
+
+
+def test_cg_converges_f32():
+    n = 256
+    a64 = _spd(n)
+    b64 = gen_mtx(MatrixInfo(1, n), seed=7)[0]
+    a = jnp.asarray(a64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    x, rs, it = cg(a, b, iters=200, tol=1e-6)
+    ref = np.linalg.solve(a64, b64)
+    rel = np.linalg.norm(np.asarray(x, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4
+    assert int(it) < 200  # tol fired
+
+
+def test_cg_bf16_storage_df64_dots():
+    n = 256
+    a64 = _spd(n, seed=3)
+    b64 = gen_mtx(MatrixInfo(1, n), seed=9)[0]
+    ab = jnp.asarray(a64, jnp.float32).astype(jnp.bfloat16)
+    b = jnp.asarray(b64, jnp.float32)
+    x, rs, it = cg(ab, b, iters=100, ar="df64")
+    # solves the bf16-rounded system
+    a_st = np.asarray(ab.astype(jnp.float32), np.float64)
+    ref = np.linalg.solve(a_st, b64)
+    rel = np.linalg.norm(np.asarray(x, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 5e-2
+
+
+def test_richardson_refine_reduces_residual():
+    n = 256
+    a64 = gen_mtx(MatrixInfo(n, n), seed=5) * 0.5 / n + np.eye(n)
+    b64 = gen_mtx(MatrixInfo(1, n), seed=11)[0]
+    a32 = jnp.asarray(a64, jnp.float32)
+    x, rhist = richardson_refine(a32.astype(jnp.bfloat16), a32, jnp.asarray(b64, jnp.float32), iters=8)
+    r = np.asarray(rhist, np.float64)
+    assert r[-1] < r[0] * 1e-3
+
+
+def test_power_method():
+    n = 128
+    a64 = _spd(n, seed=13)
+    lam_ref = np.linalg.eigvalsh(a64)[-1]
+    a = jnp.asarray(a64, jnp.float32)
+    _, lam = power_method(a, iters=100)
+    assert abs(float(lam) - lam_ref) / lam_ref < 1e-2
+
+
+def test_cg_jits():
+    n = 128
+    a = jnp.asarray(_spd(n, seed=17), jnp.float32)
+    b = jnp.ones((n,), jnp.float32)
+    f = jax.jit(lambda a, b: cg(a, b, iters=20)[0])
+    out = f(a, b)
+    assert np.all(np.isfinite(np.asarray(out)))
