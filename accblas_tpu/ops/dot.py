@@ -104,10 +104,13 @@ def _dot_kernel(
             rowid = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
             p = jnp.where(rowid < valid, p, jnp.zeros((), ar_dt))
         sub = acc_hi.shape[0]
-        part = jnp.sum(
-            p.reshape(block_rows // sub, sub, 128), axis=0, dtype=ar_dt
-        )
-        acc_hi[...] = acc_hi[...] + part
+        # pairwise tree of elementwise adds in the arithmetic dtype (Mosaic
+        # has no sub-32-bit reduce ops; block_rows and sub are powers of two)
+        pr = p.reshape(block_rows // sub, sub, 128)
+        while pr.shape[0] > 1:
+            half = pr.shape[0] // 2
+            pr = pr[:half] + pr[half:]
+        acc_hi[...] = acc_hi[...] + pr[0]
 
     @pl.when(i == n_steps - 1)
     def _finish():
@@ -118,11 +121,12 @@ def _dot_kernel(
             hi_ref[0, 0] = t.hi[0, 0]
             lo_ref[0, 0] = t.lo[0, 0]
         else:
-            # keepdims + array-level cast: Mosaic cannot extract sub-32-bit
-            # scalars, so round in-array before the (1, 1) read
-            total = jnp.sum(
-                acc_hi[...], dtype=dtypes.jnp_dtype(ar), keepdims=True
-            ).astype(jnp.float32)
+            # Mosaic has no sub-32-bit reductions/scalars: fold the (sub, 128)
+            # partial tile in f32 (the tier's defining error is the per-element
+            # accumulate, which stayed in `ar`), round to `ar` in-array, read
+            # back as f32
+            total = jnp.sum(acc_hi[...].astype(jnp.float32), keepdims=True)
+            total = total.astype(dtypes.jnp_dtype(ar)).astype(jnp.float32)
             hi_ref[0, 0] = total[0, 0]
             lo_ref[0, 0] = jnp.float32(0.0)
 

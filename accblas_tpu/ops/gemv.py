@@ -117,13 +117,18 @@ def _gemv_kernel(
             # HIGHEST only for f32 operands (the bf16-truncation hazard);
             # narrow fixed-precision dots are already exact in their tier
             prec = jax.lax.Precision.HIGHEST if ar_dt == jnp.float32 else None
+        # the MXU accumulator is always 32-bit (tpu.matmul constraint); for
+        # narrow fixed tiers the block partial is rounded to `ar` before the
+        # cross-block accumulate — the tier's rounding at block granularity
         part = jax.lax.dot_general(
             av,
             xa,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=ar_dt,
+            preferred_element_type=jnp.float32,
             precision=prec,
-        )  # (BM, 1)
+        )  # (BM, 1) f32
+        if ar_dt != jnp.float32:
+            part = part.astype(ar_dt)
         acc_hi[...] = acc_hi[...] + part
 
     @pl.when(j == n_steps_j - 1)
