@@ -88,28 +88,57 @@ def benchmark_loop(body, init_carry, *, args=(), reps: int = 3, target_ms: float
     def loop(k, carry, *a):
         return lax.fori_loop(0, k, lambda i, c: body(c, *a), carry)
 
-    k_lo = k_min
-    # warm-up / compile, and a probe to size K_hi
-    _sync_carry(loop(1, init_carry, *args))
-    t0 = _time.perf_counter()
-    _sync_carry(loop(4 * k_min, init_carry, *args))
-    t_probe = _time.perf_counter() - t0
-    t0 = _time.perf_counter()
-    _sync_carry(loop(k_min, init_carry, *args))
-    t_base = _time.perf_counter() - t0
-    per_est = max((t_probe - t_base) / (3 * k_min), 1e-7)
-    k_hi = int(min(max(target_ms / 1e3 / per_est, 8 * k_min), k_cap))
+    def timed(k):
+        t0 = _time.perf_counter()
+        _sync_carry(loop(k, init_carry, *args))
+        return _time.perf_counter() - t0
 
-    best = float("inf")
-    for _ in range(reps):
-        t0 = _time.perf_counter()
-        _sync_carry(loop(k_lo, init_carry, *args))
-        t_lo = _time.perf_counter() - t0
-        t0 = _time.perf_counter()
-        _sync_carry(loop(k_hi, init_carry, *args))
-        t_hi = _time.perf_counter() - t0
+    k_lo = k_min
+    _sync_carry(loop(1, init_carry, *args))  # warm-up / compile
+
+    # base time and its jitter (the dispatch floor varies by milliseconds
+    # through the tunnel)
+    base_samples = [timed(k_lo) for _ in range(3)]
+    t_base = min(base_samples)
+    jitter = max(max(base_samples) - t_base, 1e-4)
+
+    # grow K until the loop body's signal dominates the jitter
+    k_hi = 8 * k_min
+    t_hi = timed(k_hi)
+    while (
+        k_hi < k_cap
+        and (t_hi - t_base) < max(target_ms / 1e3, 8 * jitter)
+    ):
+        k_hi = min(k_hi * 4, k_cap)
+        t_hi = timed(k_hi)
+
+    best = (t_hi - t_base) / (k_hi - k_lo)
+    for _ in range(reps - 1):
+        t_lo = timed(k_lo)
+        t_hi = timed(k_hi)
         best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
-    return best * 1e3
+    return max(best, 0.0) * 1e3
+
+
+class profile_trace:
+    """Optional profiler hook (SURVEY.md §5, tracing): wraps a region in
+    ``jax.profiler.trace`` when a directory is given, no-op otherwise —
+    the NVTX-style hook the reference lacks."""
+
+    def __init__(self, log_dir=None):
+        self.log_dir = log_dir
+        self._cm = None
+
+    def __enter__(self):
+        if self.log_dir:
+            self._cm = jax.profiler.trace(self.log_dir)
+            self._cm.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._cm is not None:
+            return self._cm.__exit__(*exc)
+        return False
 
 
 class Timer:
