@@ -50,13 +50,13 @@ def _variants(jnp, dotops, dfm):
         return dotops.dot(xb, yb, init=chain(c)).astype(jnp.float32)
 
     def v_acc_df_f32(c, x32, y32, xb, yb):
-        return dotops.acc_dot(x32, y32, ar="df64", precise=True, init=chain(c)).hi
+        return dotops.acc_dot(x32, y32, ar="df64", init=chain(c)).hi
 
     def v_acc_f32_bf16(c, x32, y32, xb, yb):
         return dotops.acc_dot(xb, yb, ar="f32", init=chain(c))
 
     def v_acc_df_bf16(c, x32, y32, xb, yb):
-        return dotops.acc_dot(xb, yb, ar="df64", precise=True, init=chain(c)).hi
+        return dotops.acc_dot(xb, yb, ar="df64", init=chain(c)).hi
 
     # XLA-tier chaining: jnp.dot has no seed input, so the carry perturbs one
     # element of a *carried* copy of y (O(1): while-loop carries alias in
@@ -79,13 +79,13 @@ def _variants(jnp, dotops, dfm):
         return lambda: float(dotops.dot(xb, yb).astype(jnp.float32))
 
     def e_acc_df_f32(x32, y32, xb, yb):
-        return lambda: float(dfm.df_to_f64(dotops.acc_dot(x32, y32, ar="df64", precise=True)))
+        return lambda: float(dfm.df_to_f64(dotops.acc_dot(x32, y32, ar="df64")))
 
     def e_acc_f32_bf16(x32, y32, xb, yb):
         return lambda: float(dotops.acc_dot(xb, yb, ar="f32"))
 
     def e_acc_df_bf16(x32, y32, xb, yb):
-        return lambda: float(dfm.df_to_f64(dotops.acc_dot(xb, yb, ar="df64", precise=True)))
+        return lambda: float(dfm.df_to_f64(dotops.acc_dot(xb, yb, ar="df64")))
 
     def e_xla_f32(x32, y32, xb, yb):
         return lambda: float(jnp.dot(x32, y32))

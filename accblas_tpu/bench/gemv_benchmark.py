@@ -47,11 +47,11 @@ def main():
     run_f32 = jax.jit(lambda a, x, r: gemvops.gemv(a, x, r, ALPHA, BETA))
     run_bf16 = jax.jit(lambda a, x, r: gemvops.gemv(a, x, r, ALPHA, BETA))
     run_acc_df = jax.jit(
-        lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="df64", precise=True)
+        lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="df64")
     )
     run_acc_f32b = jax.jit(lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="f32"))
     run_acc_dfb = jax.jit(
-        lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="df64", precise=True)
+        lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="df64")
     )
     run_xla_f32 = jax.jit(lambda a, x, r: gemvops.xla_gemv(a, x, r, ALPHA, BETA))
     run_xla_bf16 = jax.jit(lambda a, x, r: gemvops.xla_gemv(a, x, r, ALPHA, BETA))

@@ -52,7 +52,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..accessor import dtypes
 from .common import compiler_params, interpret_default
 
-BLOCK = 256  # block size: balances diag-inverse cost against DMA granularity
+# block size: balances batched-diag-inverse cost against DMA granularity and
+# per-step overhead (measured on v5e at n=16384: 512 -> 278 GFLOP/s vs
+# 256 -> 186)
+BLOCK = 512
 
 
 def _diag_inverses(a, nb: int, block: int, lower: bool, unit: bool):
