@@ -14,7 +14,6 @@ static, kernels Pallas.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -169,13 +169,35 @@ def _gemv_fullrow_kernel(
     *,
     n: int,
     st_out: str,
+    ar: str = "f32",
+    precise: bool = False,
 ):
     # one full row panel per grid step (the DOT-like 1-D structure): VPU
     # multiply + pairwise chunk fold; no cross-step carry, no MXU passes.
     # Measured 91% of HBM roofline for f32 at 16384^2 (vs 60% for the
     # HIGHEST-precision MXU form).
-    p = a_ref[...].astype(jnp.float32) * x_ref[...].astype(jnp.float32)
-    bm = p.shape[0]
+    av = a_ref[...].astype(jnp.float32)
+    xv = x_ref[...].astype(jnp.float32)
+    bm = av.shape[0]
+    alpha = alpha_ref[0, 0]
+    beta = beta_ref[0, 0]
+    rv = jnp.where(
+        beta == 0.0,
+        jnp.zeros_like(r_ref[...], jnp.float32),
+        r_ref[...].astype(jnp.float32) * beta,
+    )
+    if ar == "df64":
+        if precise:
+            p, e = dfm.two_prod(av, xv)
+            e = e.reshape(bm, n // 128, 128)
+        else:
+            p, e = av * xv, None
+        part = dfm.cascaded_fold_mid(p.reshape(bm, n // 128, 128), err=e)
+        total = dfm.df_fold_lanes(part, 1)  # DF (bm, 1)
+        out = dfm.df_add(dfm.df_mul_f32(total, alpha), dfm.df_from(rv))
+        o_ref[...] = dfm.df_to_f32(out).astype(dtypes.jnp_dtype(st_out))
+        return
+    p = av * xv
     pr = p.reshape(bm, n // 128, 128)
     s = pr[:, 0]
     for k in range(1, n // 128):
@@ -184,26 +206,29 @@ def _gemv_fullrow_kernel(
     while w > 1:
         w //= 2
         s = s[:, :w] + s[:, w : 2 * w]
-    alpha = alpha_ref[0, 0]
-    beta = beta_ref[0, 0]
-    rv = jnp.where(
-        beta == 0.0,
-        jnp.zeros_like(r_ref[...], jnp.float32),
-        r_ref[...].astype(jnp.float32) * beta,
-    )
     o_ref[...] = (s * alpha + rv).astype(dtypes.jnp_dtype(st_out))
 
 
-def _gemv_fullrow_call(a, x, res, alpha, beta, interpret, st_out: str):
+def _gemv_fullrow_call(
+    a, x, res, alpha, beta, interpret, st_out: str, ar: str = "f32", precise: bool = False
+):
     m, n = a.shape
     itemsize = jnp.dtype(a.dtype).itemsize
     # VMEM budget: double-buffered row panel + x + out, keep under ~9 MB
     bm = 8
     while 2 * (2 * bm) * n * itemsize + n * 4 <= 9 * 2**20 and 2 * bm <= max(m, 8):
         bm *= 2
+    if ar == "df64":
+        # the compensated fold keeps ~5x the block in live VMEM temporaries
+        # (p, error channel, per-level tree values): cap the panel at 512 KiB
+        bm = 8
+        while 2 * bm * n * 4 <= 2**19 and 2 * bm <= max(m, 8):
+            bm *= 2
     grid = (pl.cdiv(m, bm),)
     out = pl.pallas_call(
-        functools.partial(_gemv_fullrow_kernel, n=n, st_out=st_out),
+        functools.partial(
+            _gemv_fullrow_kernel, n=n, st_out=st_out, ar=ar, precise=precise
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -237,10 +262,12 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret):
         interpret = interpret_default()
     st_out = dtypes.canon(res.dtype)
 
-    # f32-arithmetic-over-f32-storage takes the full-row VPU path (fastest
-    # exact-f32 form); narrow-storage MXU tiers and df64 use the 2-D grid
-    if ar == "f32" and a.dtype == jnp.float32 and n % 128 == 0:
-        return _gemv_fullrow_call(a, x, res, alpha, beta, interpret, st_out)
+    # f32 and df64 arithmetic over f32 storage take the full-row VPU path
+    # (fastest exact form); narrow-storage MXU tiers use the 2-D grid
+    if ar in ("f32", "df64") and a.dtype == jnp.float32 and n % 128 == 0:
+        return _gemv_fullrow_call(
+            a, x, res, alpha, beta, interpret, st_out, ar=ar, precise=precise
+        )
 
     bm = min(BM_MAX, pow2_ceil(max(m, 8)))
     bn = min(BN_MAX, pow2_ceil(max(n, 128)))

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accessor import dtypes
 from . import df64 as dfm
 from .common import compiler_params, interpret_default
 from .trsv import BLOCK, _pad_packed

@@ -35,7 +35,6 @@ try:  # jax >= 0.6 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..ops import df64 as dfm
 from ..ops import dot as dotops
 from ..ops import gemv as gemvops
 

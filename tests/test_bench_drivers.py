@@ -4,7 +4,6 @@ small single sizes)."""
 import sys
 
 import numpy as np
-import pytest
 
 
 def _run_main(module, argv, capsys):

@@ -7,7 +7,6 @@ error harness (SURVEY.md §4): numpy float64 is the ground truth.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from accblas_tpu.ops import df64
 from accblas_tpu.ops.df64 import DF

@@ -2,10 +2,9 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from accblas_tpu.ops import dot as dotops
-from accblas_tpu.utils.memory import DotData, GemvData, TrsvData, to_device, to_host
+from accblas_tpu.utils.memory import DotData, GemvData, TrsvData, to_host
 
 
 def test_dot_data_roundtrip_and_randomize():
