@@ -189,10 +189,21 @@ def _gemv_fullrow_kernel(
     if ar == "df64":
         if precise:
             p, e = dfm.two_prod(av, xv)
-            e = e.reshape(bm, n // 128, 128)
+            e3 = e.reshape(bm, n // 128, 128)
         else:
-            p, e = av * xv, None
-        part = dfm.cascaded_fold_mid(p.reshape(bm, n // 128, 128), err=e)
+            p, e3 = av * xv, None
+        p3 = p.reshape(bm, n // 128, 128)
+        # per-row leading-axis compensated folds: mid-axis slicing forces
+        # Mosaic relayouts (measured 127 GFLOP/s); contiguous per-row trees
+        # reach 272 GFLOP/s at bm=32
+        his, los = [], []
+        for r in range(bm):
+            d = dfm.cascaded_fold(
+                p3[r], out_rows=1, err=None if e3 is None else e3[r]
+            )
+            his.append(d.hi)
+            los.append(d.lo)
+        part = dfm.DF(jnp.concatenate(his, 0), jnp.concatenate(los, 0))
         total = dfm.df_fold_lanes(part, 1)  # DF (bm, 1)
         out = dfm.df_add(dfm.df_mul_f32(total, alpha), dfm.df_from(rv))
         o_ref[...] = dfm.df_to_f32(out).astype(dtypes.jnp_dtype(st_out))
@@ -219,10 +230,11 @@ def _gemv_fullrow_call(
     while 2 * (2 * bm) * n * itemsize + n * 4 <= 9 * 2**20 and 2 * bm <= max(m, 8):
         bm *= 2
     if ar == "df64":
-        # the compensated fold keeps ~5x the block in live VMEM temporaries
-        # (p, error channel, per-level tree values): cap the panel at 512 KiB
+        # compensated folds keep several panel-sized temporaries live: cap
+        # the panel at 2 MiB, and cap rows at 32 (per-row folds unroll the
+        # trace per row)
         bm = 8
-        while 2 * bm * n * 4 <= 2**19 and 2 * bm <= max(m, 8):
+        while 2 * bm * n * 4 <= 2**21 and 2 * bm <= max(m, 8) and 2 * bm <= 32:
             bm *= 2
     grid = (pl.cdiv(m, bm),)
     out = pl.pallas_call(
