@@ -20,17 +20,19 @@ def pow2_ceil(x: int) -> int:
 
 
 def as_rows128(v: jnp.ndarray) -> jnp.ndarray:
-    """View a vector as (rows, 128) lanes.
+    """View a vector as (rows, 128) lanes, at least 8 rows (Mosaic requires
+    block sublane dims of 8+ unless equal to the array dim).
 
-    Zero-copy when n % 128 == 0 (row-major reshape); otherwise pads the tail —
-    a copy, so benchmark sweeps use lane-aligned sizes (the reference's sweep
-    values are arbitrary because CUDA kernels do per-element bounds checks;
-    on TPU the lane dimension is physical).
+    Zero-copy when n % 128 == 0 and n >= 1024 (row-major reshape); otherwise
+    pads the tail — a copy, so benchmark sweeps use lane-aligned sizes (the
+    reference's sweep values are arbitrary because CUDA kernels do
+    per-element bounds checks; on TPU the lane dimension is physical).
     """
     n = v.shape[0]
-    rem = n % 128
-    if rem:
-        v = jnp.concatenate([v, jnp.zeros(128 - rem, v.dtype)])
+    min_n = 8 * 128
+    target = max(((n + 127) // 128) * 128, min_n)
+    if target != n:
+        v = jnp.concatenate([v, jnp.zeros(target - n, v.dtype)])
     return v.reshape(-1, 128)
 
 
