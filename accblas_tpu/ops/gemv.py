@@ -294,9 +294,6 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret):
 
     acc_dt = jnp.float32 if ar == "df64" else dtypes.jnp_dtype(ar)
     acc_shape = (bm, 128) if ar == "df64" else (bm, 1)
-    scratch = [pltpu.VMEM(acc_shape, acc_dt)]
-    scratch.append(pltpu.VMEM(acc_shape, acc_dt) if ar == "df64" else None)
-
     kernel = functools.partial(
         _gemv_kernel,
         ar=ar,
@@ -306,14 +303,12 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret):
         n_steps_j=grid[1],
         precise=precise,
     )
-    if scratch[1] is None:
-        scratch = scratch[:1]
-
-        def kernel2(al, be, a_r, x_r, r_r, o_r, hi):
-            return kernel(al, be, a_r, x_r, r_r, o_r, hi, None)
-
-    else:
+    if ar == "df64":
+        scratch = [pltpu.VMEM(acc_shape, acc_dt), pltpu.VMEM(acc_shape, acc_dt)]
         kernel2 = kernel
+    else:
+        scratch = [pltpu.VMEM(acc_shape, acc_dt)]
+        kernel2 = functools.partial(kernel, acc_lo=None)
 
     out = pl.pallas_call(
         kernel2,

@@ -122,3 +122,17 @@ def test_dot_under_jit():
     f = jax.jit(lambda a, b: dotops.acc_dot(a, b, ar="df64", precise=True))
     out = f(x, y)
     assert _rel(float(df64.df_to_f64(out)), np.asarray(x, np.float64) @ np.asarray(y, np.float64)) < 1e-12
+
+
+def test_mixed_storage_dot():
+    """Different storage dtypes per operand (x f32, y bf16) through the
+    accessor — each Range carries its own spec."""
+    n = 2**14
+    x64, y64 = _vecs(n, seed=21)
+    x = jnp.asarray(x64, jnp.float32)
+    yb = jnp.asarray(y64, jnp.float32).astype(jnp.bfloat16)
+    ref_stored = np.asarray(x, np.float64) @ np.asarray(yb.astype(jnp.float32), np.float64)
+    got = float(dotops.acc_dot(x, yb, ar="f32"))
+    assert _rel(got, ref_stored) < 1e-5
+    got_df = float(df64.df_to_f64(dotops.acc_dot(x, yb, ar="df64", precise=True)))
+    assert _rel(got_df, ref_stored) < 1e-12
