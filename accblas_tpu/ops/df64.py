@@ -232,23 +232,29 @@ def cascaded_fold(p, out_rows: int = 8, err=None) -> DF:
     `err`: optional initial per-element error array of the same shape as `p`
     (e.g. the two_prod low words in precise mode).
 
-    R and out_rows must be powers of two, R >= out_rows.
+    Any leading size works (odd leftovers are peeled per level); the result
+    is zero-padded up to `out_rows` rows if the fold lands below it.
     """
     s = p
-    rows = s.shape[0]
-    assert rows >= out_rows and (rows & (rows - 1)) == 0, rows
-    assert (out_rows & (out_rows - 1)) == 0, out_rows
-    while s.shape[0] > out_rows:
-        half = s.shape[0] // 2
-        s, e = two_sum(s[:half], s[half:])
-        err = e if err is None else err[:half] + err[half:] + e
     if err is None:
         err = jnp.zeros_like(s)
-    elif err.shape[0] != out_rows:
-        # fold the error channel the rest of the way in plain f32
-        while err.shape[0] > out_rows:
-            half = err.shape[0] // 2
-            err = err[:half] + err[half:]
+    while s.shape[0] > out_rows:
+        half = s.shape[0] // 2
+        s_new, e = two_sum(s[:half], s[half : 2 * half])
+        err_new = err[:half] + err[half : 2 * half] + e
+        if s.shape[0] % 2:
+            # fold the odd leftover row into row 0 (exactly)
+            s0, e0 = two_sum(s_new[:1], s[2 * half :])
+            s_new = jnp.concatenate([s0, s_new[1:]], 0)
+            err_new = jnp.concatenate(
+                [err_new[:1] + e0 + err[2 * half :], err_new[1:]], 0
+            )
+        s, err = s_new, err_new
+    if s.shape[0] < out_rows:
+        pad = out_rows - s.shape[0]
+        z = jnp.zeros((pad,) + s.shape[1:], s.dtype)
+        s = jnp.concatenate([s, z], 0)
+        err = jnp.concatenate([err, z], 0)
     return DF(s, err)
 
 

@@ -103,3 +103,19 @@ def test_df_pytree_and_operators(rng):
     a64 = np.asarray(a.hi, np.float64)
     b64 = np.asarray(b.hi, np.float64)
     np.testing.assert_allclose(df64.df_to_f64(out), a64 * b64 + a64 - 2 * b64, rtol=1e-13, atol=1e-14)
+
+
+def test_cascaded_fold_arbitrary_sizes(rng):
+    for rows in (24, 7, 33, 8, 128):
+        p = jnp.asarray(_rand(rng, (rows, 128)))
+        out = df64.cascaded_fold(p, out_rows=8)
+        assert out.hi.shape == (8, 128)
+        got = np.asarray(out.hi, np.float64).sum(0) + np.asarray(out.lo, np.float64).sum(0)
+        ref = np.asarray(p, np.float64).sum(0)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+    # exactness: fold to 1 row and compare against fp64
+    p = jnp.asarray(_rand(rng, (24, 128)))
+    out = df64.cascaded_fold(p, out_rows=1)
+    got = np.asarray(out.hi, np.float64)[0] + np.asarray(out.lo, np.float64)[0]
+    np.testing.assert_allclose(got, np.asarray(p, np.float64).sum(0), rtol=1e-12)

@@ -117,3 +117,15 @@ def test_gemv_error_floor_property():
     e_fixed = _rel(gemvops.gemv(a, x, z, 1.0, 0.0), ref)
     assert e_acc < 3e-7
     assert e_fixed >= e_acc * 0.9  # fixed can't be meaningfully better
+
+
+def test_acc_gemv_df64_nonpow2_chunks():
+    # n/128 = 24 chunks: exercises the odd-peel path of cascaded_fold
+    m, n = 64, 3072
+    a64, x64, r64 = _data(m, n, seed=23)
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    ref = np.asarray(a, np.float64) @ np.asarray(x, np.float64) + np.asarray(r, np.float64)
+    got = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", precise=True)
+    assert _rel(got, ref) < 2e-7
