@@ -136,14 +136,26 @@ class Range:
     def set(self, idx, value):
         if self.const:
             raise TypeError("write to const Range")
-        self.data[idx] = self.spec.store_cast(value)
+        try:
+            self.data[idx] = self.spec.store_cast(value)
+        except TypeError as e:
+            raise TypeError(
+                "in-place Range writes need a mutable carrier (numpy array or "
+                "Pallas ref); use Range.updated(...) for jnp arrays"
+            ) from e
 
     def store(self, value, idx=None):
         if self.const:
             raise TypeError("write to const Range")
         if idx is None:
             idx = ...
-        self.data[idx] = self.spec.store_cast(value)
+        try:
+            self.data[idx] = self.spec.store_cast(value)
+        except TypeError as e:
+            raise TypeError(
+                "in-place Range writes need a mutable carrier (numpy array or "
+                "Pallas ref); use Range.updated(...) for jnp arrays"
+            ) from e
 
     def updated(self, idx, value) -> "Range":
         """Functional write for immutable jnp-array carriers: returns a new

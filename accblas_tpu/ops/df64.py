@@ -243,12 +243,16 @@ def cascaded_fold(p, out_rows: int = 8, err=None) -> DF:
         s_new, e = two_sum(s[:half], s[half : 2 * half])
         err_new = err[:half] + err[half : 2 * half] + e
         if s.shape[0] % 2:
-            # fold the odd leftover row into row 0 (exactly)
+            # fold the odd leftover row into row 0 (exactly); avoid
+            # zero-size slices when only one row remains (Mosaic rejects
+            # 0-extent vectors)
             s0, e0 = two_sum(s_new[:1], s[2 * half :])
-            s_new = jnp.concatenate([s0, s_new[1:]], 0)
-            err_new = jnp.concatenate(
-                [err_new[:1] + e0 + err[2 * half :], err_new[1:]], 0
-            )
+            e_row0 = err_new[:1] + e0 + err[2 * half :]
+            if s_new.shape[0] > 1:
+                s_new = jnp.concatenate([s0, s_new[1:]], 0)
+                err_new = jnp.concatenate([e_row0, err_new[1:]], 0)
+            else:
+                s_new, err_new = s0, e_row0
         s, err = s_new, err_new
     if s.shape[0] < out_rows:
         pad = out_rows - s.shape[0]

@@ -112,12 +112,16 @@ def benchmark_loop(body, init_carry, *, args=(), reps: int = 3, target_ms: float
         k_hi = min(k_hi * 4, k_cap)
         t_hi = timed(k_hi)
 
-    best = (t_hi - t_base) / (k_hi - k_lo)
+    # slope of the min times: min() over reps suppresses host/tunnel noise
+    # spikes on each endpoint independently (a per-rep slope can go negative
+    # when a spike lands on t_lo)
+    t_los = [t_base]
+    t_his = [t_hi]
     for _ in range(reps - 1):
-        t_lo = timed(k_lo)
-        t_hi = timed(k_hi)
-        best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
-    return max(best, 0.0) * 1e3
+        t_los.append(timed(k_lo))
+        t_his.append(timed(k_hi))
+    slope = (min(t_his) - min(t_los)) / (k_hi - k_lo)
+    return slope * 1e3 if slope > 0 else float("nan")
 
 
 class profile_trace:
