@@ -52,26 +52,59 @@ from jax.experimental.pallas import tpu as pltpu
 from ..accessor import dtypes
 from .common import compiler_params, interpret_default
 
-# block size: balances batched-diag-inverse cost against DMA granularity and
-# per-step overhead (measured on v5e at n=16384: 512 -> 278 GFLOP/s vs
-# 256 -> 186)
+# block size: balances per-step overhead against DMA granularity (measured on
+# v5e at n=16384: 512 -> 278 GFLOP/s vs 256 -> 186)
 BLOCK = 512
+# leaf size for the two-level diagonal solve: only leaf x leaf diagonal
+# sub-blocks are inverted in phase 1 (B/leaf fewer flops than inverting the
+# full diagonal block: 33 Mflop vs 2.1 Gflop at n=16384), and the kernel
+# substitutes through the diagonal block with leaf-granular MXU dots
+LEAF = 64
 
 
-def _diag_inverses(a, nb: int, block: int, lower: bool, unit: bool):
-    """Batched masked diagonal-block inversion, transposed for the row-form
-    sweep (phase 1). Returns invT with invT[k] = inv(D_k)^T, float32."""
-    n = nb * block
-    blocks = a.reshape(nb, block, nb, block)
-    idx = jnp.arange(nb)
-    d = blocks[idx, :, idx, :].astype(jnp.float32)  # (nb, B, B)
-    r = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+def _extract_leaf_diag(a, nb: int, block: int, leaf: int, interpret):
+    """Extract the leaf-diagonal blocks as (nb·B/leaf, leaf, leaf).
+
+    Two stages: a Pallas DMA pulls exactly the nb block-diagonal (B, B) tiles
+    (an XLA gather over the full n² matrix lowers catastrophically — measured
+    ~10 ms at n=16384 vs ~0.04 ms of actual bytes), then a cheap gather on
+    that small stack selects the leaf diagonals."""
+
+    def kern(a_ref, o_ref):
+        o_ref[0] = a_ref[...]
+
+    dd = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((block, block), lambda i: (i, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, block, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, block, block), a.dtype),
+        compiler_params=compiler_params(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(a)
+    nleaf = block // leaf
+    d5 = dd.reshape(nb, nleaf, leaf, nleaf, leaf)
+    idx = jnp.arange(nleaf)
+    d = d5[:, idx, :, idx, :]  # (nleaf, nb, leaf, leaf)
+    return d.transpose(1, 0, 2, 3).reshape(nb * nleaf, leaf, leaf)
+
+
+def _leaf_inverses(a, nb: int, block: int, leaf: int, lower: bool, unit: bool, interpret):
+    """Batched masked inversion of the leaf x leaf diagonal sub-blocks,
+    transposed for the row-form sweep (phase 1 — the Gauss-Jordan-in-shared-
+    memory role, ``cuda/trsv_kernels.cuh:125-162``, hoisted out of the
+    sequential sweep and batched). Returns (nb, B/leaf, leaf, leaf) float32."""
+    m = nb * block // leaf
+    d = _extract_leaf_diag(a, nb, block, leaf, interpret).astype(jnp.float32)  # (m, leaf, leaf)
+    r = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
     tri = (r >= c) if lower else (r <= c)
     d = jnp.where(tri[None], d, 0.0)
     if unit:
         d = jnp.where((r == c)[None], 1.0, d)
-    eye = jnp.broadcast_to(jnp.eye(block, dtype=jnp.float32), (nb, block, block))
+    eye = jnp.broadcast_to(jnp.eye(leaf, dtype=jnp.float32), (m, leaf, leaf))
     # TPU's default matmul precision truncates f32 operands to bf16 inside
     # XLA's blocked TriangularSolve — force true f32 (Pallas/Mosaic dots in
     # the sweep are f32 regardless; this phase must match)
@@ -79,7 +112,7 @@ def _diag_inverses(a, nb: int, block: int, lower: bool, unit: bool):
         inv = jax.lax.linalg.triangular_solve(
             d, eye, left_side=True, lower=lower, unit_diagonal=False
         )
-    return inv.transpose(0, 2, 1)
+    return inv.transpose(0, 2, 1).reshape(nb, block // leaf, leaf, leaf)
 
 
 def _trsv_kernel(
@@ -123,16 +156,34 @@ def _trsv_kernel(
 
     @pl.when(j == i)
     def _solve():
-        # x[bi] = (b[bi] - corr) @ inv(D)^T — the inv(L_diag)·(rhs - corr)
-        # step (cuda/trsv_kernels.cuh:212-228) on the pre-inverted block
+        # two-level diagonal solve (the inv(L_diag)·(rhs - corr) step,
+        # cuda/trsv_kernels.cuh:212-228): substitute through the diagonal
+        # block at leaf granularity using the pre-inverted leaf blocks —
+        # the a_blk slices are static, the dots ride the MXU
         rhs = b_ref[0].astype(jnp.float32) - corr[...]
-        x_row = jax.lax.dot_general(
-            rhs,
-            invt_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        nleaf = a_blk.shape[0] // LEAF
+        order = range(nleaf) if lower else range(nleaf - 1, -1, -1)
+        xs = [None] * nleaf
+        for s in order:
+            r_s = rhs[:, s * LEAF : (s + 1) * LEAF]
+            deps = range(s) if lower else range(s + 1, nleaf)
+            for t2 in deps:
+                d_st = a_blk[s * LEAF : (s + 1) * LEAF, t2 * LEAF : (t2 + 1) * LEAF]
+                r_s = r_s - jax.lax.dot_general(
+                    xs[t2],
+                    d_st,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            xs[s] = jax.lax.dot_general(
+                r_s,
+                invt_ref[0, s],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        x_row = jnp.concatenate(xs, axis=1)
         x_scr[pl.ds(bi, 1), :] = x_row  # publish (threadfence+flag analogue)
         x_out_ref[0] = x_row.astype(dtypes.jnp_dtype(st_out))
 
@@ -155,7 +206,11 @@ def _trsv_sweep(a, invt, b2, nb: int, block: int, lower: bool, st_out: str, inte
         grid=(nb, nb),
         in_specs=[
             pl.BlockSpec((block, block), a_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, block), lambda i, j: (row_index(i, j)[0], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, block // LEAF, LEAF, LEAF),
+                lambda i, j: (row_index(i, j)[0], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             # rows ride as (nb, 1, block): Mosaic requires the last two block
             # dims be 8/128-divisible or equal to the array dims
             pl.BlockSpec((1, 1, block), lambda i, j: (row_index(i, j)[0], 0, 0), memory_space=pltpu.VMEM),
@@ -201,7 +256,7 @@ def _trsv_impl(a, b, uplo: str, unit: bool, interpret, st_out: str):
     if interpret is None:
         interpret = interpret_default()
     a_p, b_p, nb, npad = _pad_packed(a, b, BLOCK)
-    invt = _diag_inverses(a_p, nb, BLOCK, lower, unit)
+    invt = _leaf_inverses(a_p, nb, BLOCK, LEAF, lower, unit, interpret)
     x = _trsv_sweep(
         a_p, invt, b_p.reshape(nb, BLOCK), nb, BLOCK, lower, st_out, interpret
     )
