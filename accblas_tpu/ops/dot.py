@@ -37,7 +37,10 @@ from ..accessor.range import Range, ReducedRowMajor
 from . import df64 as dfm
 from .common import as_rows128, compiler_params, interpret_default, pow2_ceil
 
-MAX_BLOCK_ROWS = 1024  # (1024, 128) f32 tile = 512 KiB per operand per buffer
+# (rows, 128) per grid step; df64 keeps smaller blocks (compensated-fold
+# temporaries live in VMEM), plain tiers use larger ones (measured +2% at 2048)
+MAX_BLOCK_ROWS = 2048
+MAX_BLOCK_ROWS_DF64 = 1024
 
 
 def _dot_kernel(
@@ -142,7 +145,8 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None):
     x2 = as_rows128(x)
     y2 = as_rows128(y)
     rows = x2.shape[0]
-    block_rows = min(MAX_BLOCK_ROWS, pow2_ceil(max(rows, 8)))
+    cap = MAX_BLOCK_ROWS_DF64 if ar == "df64" else MAX_BLOCK_ROWS
+    block_rows = min(cap, pow2_ceil(max(rows, 8)))
     n_steps = pl.cdiv(rows, block_rows)
 
     # bf16 accumulators want the (16, 128) native tile

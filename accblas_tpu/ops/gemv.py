@@ -36,7 +36,7 @@ from ..accessor import dtypes
 from . import df64 as dfm
 from .common import compiler_params, interpret_default, pow2_ceil
 
-BM_MAX = 512  # row-block
+BM_MAX = 1024  # row-block (measured +2% over 512 for bf16 at 16384^2)
 BN_MAX = 1024  # column-block
 
 
