@@ -281,7 +281,10 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret):
             a, x, res, alpha, beta, interpret, st_out, ar=ar, precise=precise
         )
 
-    bm = min(BM_MAX, pow2_ceil(max(m, 8)))
+    # df64's compensated-fold temporaries live in VMEM: keep its row-block
+    # at 512 (1024 OOMs the 16 MiB scoped budget with bf16 storage)
+    bm_cap = 512 if ar == "df64" else BM_MAX
+    bm = min(bm_cap, pow2_ceil(max(m, 8)))
     bn = min(BN_MAX, pow2_ceil(max(n, 128)))
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
 
