@@ -18,13 +18,18 @@ Reference semantics being reproduced (see SURVEY.md §2 C3):
     3. nothing-special pytrees — Range is itself registered as a pytree, so it
        can cross ``jit`` / ``pallas_call`` boundaries.
 
-TPU-first deviation from the reference: the CUDA version bakes a runtime row
-``stride`` into the accessor because kernels address raw pointers. Under
-XLA/Pallas, windowing and strides are the job of BlockSpecs / slicing, so the
-Range carries logical extents only; the "submatrix of a larger allocation"
-pattern (``cuda/gemv_benchmark.cu:215``) maps to slicing the parent array,
-which XLA folds into the access (no copy under jit). A `stride` argument is
-still accepted for API parity and validated against the carrier.
+TPU-first note on strides: the CUDA version bakes a runtime row ``stride``
+into the accessor because kernels address raw pointers
+(``cuda/dot_kernels.cuh:139-141``, reference README.md:22). Here ``stride`` is
+a first-class Range argument: a Range with ``size=(m, n), stride=S`` views an
+m-by-n window of a parent carrier whose physical row length is S — the
+"submatrix of a larger allocation" pattern (``cuda/gemv_benchmark.cu:215``).
+Reads/writes map logical (i, j) to parent (i, j) [2-D carrier] or flat
+``i*S + j`` [1-D carrier]; ``load()`` returns the windowed block, which XLA
+folds into the access (no copy under jit). Inside Pallas the same composition
+is expressed by passing the *parent* array to ``pallas_call`` with a BlockSpec
+index map offsetting into it — the kernel body sees a Range over the windowed
+Ref and is written once for both cases (tests/test_accessor.py covers both).
 
 The arithmetic-type recovery (``decltype`` in C++) is `dtypes.promote`;
 df64 arithmetic values are `ops.df64.DF` pairs.
@@ -66,6 +71,13 @@ class ReducedRowMajor:
     # cast-on-load: StType value -> ArType value
     def load_cast(self, raw):
         if self.ar == "df64":
+            if raw.dtype == jnp.float64:
+                # exact two-word split of f64 storage: hi + lo == x to within
+                # df64's ~49-bit significand (truncating to a single f32 would
+                # silently drop ~29 bits)
+                hi = raw.astype(jnp.float32)
+                lo = (raw - hi.astype(jnp.float64)).astype(jnp.float32)
+                return DF(hi, lo)
             x = raw.astype(jnp.float32) if raw.dtype != jnp.float32 else raw
             return DF(x, jnp.zeros_like(x))
         return raw.astype(dtypes.jnp_dtype(self.ar))
@@ -85,11 +97,18 @@ class Range:
     ``r.set(idx, value)`` / ``r.store(value)`` cast back to storage on write.
     ``length(d)`` gives logical extents. ``const=True`` makes writes raise —
     the analogue of ``Accessor::const_accessor``.
+
+    ``stride`` (optional) is the physical row length of the parent carrier
+    when the Range is an (m, n) sub-window of a larger allocation (the
+    reference's stride-in-accessor, ``cuda/dot_kernels.cuh:139-141``): the
+    carrier must be 2-D with row length == stride, or 1-D flat with
+    ``len >= m * stride``. Omitted/None means the view is dense (stride ==
+    n for 2-D carriers).
     """
 
-    __slots__ = ("spec", "data", "_size", "const")
+    __slots__ = ("spec", "data", "_size", "const", "stride")
 
-    def __init__(self, spec: ReducedRowMajor, data, size=None, const=False):
+    def __init__(self, spec: ReducedRowMajor, data, size=None, const=False, stride=None):
         self.spec = spec
         self.data = data
         self.const = const
@@ -97,6 +116,47 @@ class Range:
             shape = getattr(data, "shape", None)
             size = tuple(shape) if shape is not None else None
         self._size = tuple(size) if size is not None else None
+        self.stride = None if stride is None else int(stride)
+        if self.stride is not None:
+            if self._size is None or len(self._size) != 2:
+                raise ValueError("stride requires an explicit 2-D size=(m, n)")
+            m, n = self._size
+            if self.stride < n:
+                raise ValueError(f"stride {self.stride} < row length {n}")
+            shape = tuple(getattr(data, "shape", ()))
+            if len(shape) == 2:
+                if shape[1] != self.stride or shape[0] < m:
+                    raise ValueError(
+                        f"2-D carrier {shape} incompatible with size {self._size} "
+                        f"stride {self.stride}"
+                    )
+            elif len(shape) == 1:
+                if shape[0] < m * self.stride:
+                    raise ValueError(
+                        f"flat carrier of {shape[0]} elems < m*stride = {m * self.stride}"
+                    )
+            else:
+                raise ValueError("strided Range needs a 1-D or 2-D carrier")
+
+    # map a logical index to the parent carrier's index space
+    def _map_idx(self, idx):
+        if self.stride is None:
+            return idx
+        if not (isinstance(idx, tuple) and len(idx) == 2):
+            raise IndexError("strided Range indexing needs an (i, j) pair")
+        i, j = idx
+        if len(getattr(self.data, "shape", ())) == 1:
+            return i * self.stride + j
+        return (i, j)
+
+    def _window(self):
+        """The logically-sized (m, n) block of the parent carrier."""
+        if self.stride is None:
+            return self.data[...]
+        m, n = self._size
+        if len(getattr(self.data, "shape", ())) == 1:
+            return self.data[: m * self.stride].reshape(m, self.stride)[:, :n]
+        return self.data[:m, :n]
 
     # --- queries -------------------------------------------------------
     def length(self, dim: int) -> int:
@@ -116,11 +176,11 @@ class Range:
 
     # --- reads ---------------------------------------------------------
     def __getitem__(self, idx):
-        return self.spec.load_cast(self.data[idx])
+        return self.spec.load_cast(self.data[self._map_idx(idx)])
 
     def load(self, idx=None):
         """Read the whole view (or a sub-index) as the arithmetic type."""
-        raw = self.data[...] if idx is None else self.data[idx]
+        raw = self._window() if idx is None else self.data[self._map_idx(idx)]
         return self.spec.load_cast(raw)
 
     def load_raw(self, idx=None):
@@ -130,14 +190,14 @@ class Range:
         preferred_element_type=f32)`` performs the cast-on-load *inside* the
         systolic array — same semantics as load(), zero extra bandwidth/ops.
         """
-        return self.data[...] if idx is None else self.data[idx]
+        return self._window() if idx is None else self.data[self._map_idx(idx)]
 
     # --- writes --------------------------------------------------------
     def set(self, idx, value):
         if self.const:
             raise TypeError("write to const Range")
         try:
-            self.data[idx] = self.spec.store_cast(value)
+            self.data[self._map_idx(idx)] = self.spec.store_cast(value)
         except TypeError as e:
             raise TypeError(
                 "in-place Range writes need a mutable carrier (numpy array or "
@@ -147,8 +207,7 @@ class Range:
     def store(self, value, idx=None):
         if self.const:
             raise TypeError("write to const Range")
-        if idx is None:
-            idx = ...
+        idx = ... if idx is None else self._map_idx(idx)
         try:
             self.data[idx] = self.spec.store_cast(value)
         except TypeError as e:
@@ -163,33 +222,33 @@ class Range:
         arrays use the mutating ``set``/``store`` instead."""
         if self.const:
             raise TypeError("write to const Range")
-        new = self.data.at[idx].set(self.spec.store_cast(value))
-        return Range(self.spec, new, self._size, self.const)
+        new = self.data.at[self._map_idx(idx)].set(self.spec.store_cast(value))
+        return Range(self.spec, new, self._size, self.const, self.stride)
 
     # --- misc ----------------------------------------------------------
     def as_const(self) -> "Range":
-        return Range(self.spec, self.data, self._size, const=True)
+        return Range(self.spec, self.data, self._size, const=True, stride=self.stride)
 
     def __repr__(self):
         return (
             f"Range<ar={self.spec.ar}, st={self.spec.st}, size={self._size}, "
-            f"const={self.const}>"
+            f"const={self.const}, stride={self.stride}>"
         )
 
 
 def _range_flatten(r: Range):
-    return (r.data,), (r.spec, r._size, r.const)
+    return (r.data,), (r.spec, r._size, r.const, r.stride)
 
 
 def _range_unflatten(aux, children):
-    spec, size, const = aux
-    return Range(spec, children[0], size, const)
+    spec, size, const, stride = aux
+    return Range(spec, children[0], size, const, stride)
 
 
 jax.tree_util.register_pytree_node(Range, _range_flatten, _range_unflatten)
 
 
-def make_range(ar, st, data, size=None, const=False) -> Range:
+def make_range(ar, st, data, size=None, const=False, stride=None) -> Range:
     """Convenience constructor mirroring the reference's range-building blocks
     (``cuda/gemv_kernels.cuh:177-189``)."""
-    return Range(ReducedRowMajor(ar, st), data, size=size, const=const)
+    return Range(ReducedRowMajor(ar, st), data, size=size, const=const, stride=stride)

@@ -146,11 +146,12 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None):
     y2 = as_rows128(y)
     rows = x2.shape[0]
     cap = MAX_BLOCK_ROWS_DF64 if ar == "df64" else MAX_BLOCK_ROWS
-    block_rows = min(cap, pow2_ceil(max(rows, 8)))
-    n_steps = pl.cdiv(rows, block_rows)
-
-    # bf16 accumulators want the (16, 128) native tile
+    # bf16 accumulators want the (16, 128) native tile; block_rows must not
+    # drop below the accumulator sublane count (small-n bf16 inputs give
+    # rows=8 < sub=16 — ragged masking handles rows < block_rows)
     sub = 16 if ar == "bf16" else 8
+    block_rows = min(cap, pow2_ceil(max(rows, sub)))
+    n_steps = pl.cdiv(rows, block_rows)
     acc_dt = jnp.float32 if ar == "df64" else dtypes.jnp_dtype(ar)
 
     kernel = functools.partial(
@@ -239,5 +240,12 @@ def acc_dot(
 
 def xla_dot(x, y):
     """Vendor-baseline tier: XLA's own dot (the cublas_dot analogue,
-    ``cuda/dot_kernels.cuh:268-299``)."""
-    return jnp.dot(x, y)
+    ``cuda/dot_kernels.cuh:268-299``).
+
+    f32 operands run at HIGHEST precision: the TPU default truncates f32 dot
+    operands to bf16, which would make the 'XLA DOT fp32' baseline label a lie
+    (the reference's cuBLAS fp32 tier is genuine IEEE f32). Narrow operands
+    (bf16/f16) are natively exact on the MXU — no override needed.
+    """
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    return jnp.dot(x, y, precision=prec)

@@ -360,5 +360,11 @@ def acc_gemv(a, x, res, alpha=1.0, beta=1.0, ar="df64", *, precise=False, interp
 
 def xla_gemv(a, x, res, alpha=1.0, beta=1.0):
     """Vendor-baseline tier (the cublas_gemv analogue,
-    ``cuda/gemv_kernels.cuh:198-243``)."""
-    return (alpha * (a @ x) + beta * res).astype(res.dtype)
+    ``cuda/gemv_kernels.cuh:198-243``).
+
+    f32 operands run at HIGHEST precision (TPU default truncates f32 matmul
+    operands to bf16 — the reference's cuBLAS fp32 was genuine f32); narrow
+    operands are natively exact on the MXU.
+    """
+    prec = jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
+    return (alpha * jnp.matmul(a, x, precision=prec) + beta * res).astype(res.dtype)

@@ -83,3 +83,96 @@ def test_range_crosses_jit_as_pytree(rng):
 def test_storage_df64_rejected():
     with pytest.raises(ValueError):
         ReducedRowMajor("f32", "df64")
+
+
+def test_load_cast_f64_storage_df64_exact_split(rng):
+    # f64 storage under df64 arithmetic splits exactly into hi/lo words
+    # (truncating to one f32 would lose ~29 bits)
+    data = rng.uniform(-1, 1, (4, 4)).astype(np.float64)
+    r = make_range("df64", "f64", data, const=True)
+    v = r.load()
+    assert isinstance(v, DF)
+    back = np.asarray(v.hi, np.float64) + np.asarray(v.lo, np.float64)
+    # hi+lo recovers f64 to within df64's ~2^-48 significand
+    np.testing.assert_allclose(back, data, rtol=2**-45, atol=0)
+    assert np.max(np.abs(np.asarray(v.lo))) > 0  # lo words carry real bits
+
+
+def test_strided_range_2d_carrier(rng):
+    # (m, n) window of a larger (M, S) allocation — the reference's
+    # submatrix-with-stride pattern (cuda/gemv_benchmark.cu:215)
+    parent = rng.uniform(-1, 1, (8, 10)).astype(np.float32)
+    r = make_range("f32", "f32", parent, size=(4, 6), stride=10)
+    assert r.length(0) == 4 and r.length(1) == 6
+    np.testing.assert_array_equal(np.asarray(r.load()), parent[:4, :6])
+    assert float(r[2, 3]) == parent[2, 3]
+    r.set((1, 5), 7.0)
+    assert parent[1, 5] == 7.0
+
+
+def test_strided_range_flat_carrier(rng):
+    flat = rng.uniform(-1, 1, (80,)).astype(np.float32)
+    r = make_range("f32", "f32", flat, size=(4, 6), stride=10)
+    expect = flat[:40].reshape(4, 10)[:, :6].copy()
+    np.testing.assert_array_equal(np.asarray(r.load()), expect)
+    assert float(r[3, 2]) == flat[3 * 10 + 2]
+    r.set((2, 1), -3.0)
+    assert flat[2 * 10 + 1] == -3.0
+
+
+def test_strided_range_cast_on_load(rng):
+    parent = jnp.asarray(rng.uniform(-1, 1, (6, 8)).astype(np.float32)).astype(jnp.bfloat16)
+    r = make_range("f32", "bf16", parent, size=(3, 4), stride=8, const=True)
+    v = r.load()
+    assert v.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(v), np.asarray(parent[:3, :4].astype(jnp.float32))
+    )
+
+
+def test_strided_range_validation():
+    parent = np.zeros((4, 8), np.float32)
+    with pytest.raises(ValueError):
+        make_range("f32", "f32", parent, size=(4, 6), stride=5)  # stride < n
+    with pytest.raises(ValueError):
+        make_range("f32", "f32", parent, size=(4, 6), stride=10)  # carrier row len != stride
+    with pytest.raises(ValueError):
+        make_range("f32", "f32", np.zeros(30, np.float32), size=(4, 6), stride=10)  # flat too small
+    with pytest.raises(ValueError):
+        # 1-D carrier with no explicit (m, n) size cannot take a stride
+        make_range("f32", "f32", np.zeros(80, np.float32), stride=10)
+
+
+def test_strided_range_updated_jnp(rng):
+    parent = jnp.zeros((4, 8), jnp.float32)
+    r = make_range("f32", "f32", parent, size=(2, 4), stride=8)
+    r2 = r.updated((1, 3), 5.0)
+    assert float(r2.data[1, 3]) == 5.0
+    assert r2.stride == 8 and r2.shape == (2, 4)
+
+
+def test_strided_range_composes_with_pallas_blockspec(rng):
+    # Inside Pallas the stride composition is the BlockSpec index map over the
+    # parent array: the kernel body is written once against a Range and sees
+    # only the windowed Ref. Sum an (8, 128) window offset inside a (16, 256)
+    # parent.
+    from jax.experimental import pallas as pl
+    from accblas_tpu.ops.common import interpret_default
+
+    parent = jnp.asarray(rng.uniform(-1, 1, (16, 256)).astype(np.float32))
+    spec = ReducedRowMajor("f32", "f32")
+
+    def kernel(a_ref, o_ref):
+        r = Range(spec, a_ref, const=True)
+        o_ref[0, 0] = jnp.sum(r.load())
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((8, 128), lambda i: (1, 1))],  # window at (8, 128)
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret_default(),
+    )(parent)
+    expect = float(np.sum(np.asarray(parent)[8:16, 128:256], dtype=np.float32))
+    assert abs(float(out[0, 0]) - expect) < 1e-3

@@ -136,3 +136,33 @@ def test_mixed_storage_dot():
     assert _rel(got, ref_stored) < 1e-5
     got_df = float(df64.df_to_f64(dotops.acc_dot(x, yb, ar="df64", precise=True)))
     assert _rel(got_df, ref_stored) < 1e-12
+
+
+def test_fixed_bf16_small_n_regression():
+    # n <= 1024 bf16: block_rows (8 rows of 128) used to fall below the
+    # (16, 128) bf16 accumulator tile -> zero-size reshape crash
+    for n in (256, 512, 1024):
+        x64 = gen_mtx(MatrixInfo(1, n), seed=21)[0]
+        y64 = gen_mtx(MatrixInfo(1, n), seed=22)[0]
+        xb = jnp.asarray(x64, jnp.float32).astype(jnp.bfloat16)
+        yb = jnp.asarray(y64, jnp.float32).astype(jnp.bfloat16)
+        got = dotops.dot(xb, yb)
+        ref = float(
+            np.asarray(xb.astype(jnp.float32), np.float64)
+            @ np.asarray(yb.astype(jnp.float32), np.float64)
+        )
+        assert _rel(float(got.astype(jnp.float32)), ref) < 0.1
+
+
+def test_acc_bf16_storage_small_n_regression():
+    n = 512
+    x64 = gen_mtx(MatrixInfo(1, n), seed=23)[0]
+    y64 = gen_mtx(MatrixInfo(1, n), seed=24)[0]
+    xb = jnp.asarray(x64, jnp.float32).astype(jnp.bfloat16)
+    yb = jnp.asarray(y64, jnp.float32).astype(jnp.bfloat16)
+    got = dotops.acc_dot(xb, yb, ar="f32")
+    ref = float(
+        np.asarray(xb.astype(jnp.float32), np.float64)
+        @ np.asarray(yb.astype(jnp.float32), np.float64)
+    )
+    assert _rel(float(got), ref) < 1e-5

@@ -67,3 +67,31 @@ def test_cg_jits():
     f = jax.jit(lambda a, b: cg(a, b, iters=20)[0])
     out = f(a, b)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_richardson_refine_streams_a_lo():
+    # the preconditioner matvec must actually run through a_lo: perturbing
+    # a_lo changes the iterate trajectory
+    n = 128
+    a64 = gen_mtx(MatrixInfo(n, n), seed=19) * 0.5 / n + np.eye(n)
+    b64 = gen_mtx(MatrixInfo(1, n), seed=23)[0]
+    a32 = jnp.asarray(a64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    x_good, _ = richardson_refine(a32.astype(jnp.bfloat16), a32, b, iters=4)
+    x_pert, _ = richardson_refine(
+        (a32 * 1.5).astype(jnp.bfloat16), a32, b, iters=4
+    )
+    assert not np.allclose(np.asarray(x_good), np.asarray(x_pert))
+
+
+def test_richardson_refine_beats_plain_richardson():
+    # the two-term Neumann step through a_lo contracts faster than a plain
+    # Richardson update (a_lo = 0 degenerates to x += 2*omega*r)
+    n = 128
+    a64 = gen_mtx(MatrixInfo(n, n), seed=29) * 0.5 / n + np.eye(n)
+    b64 = gen_mtx(MatrixInfo(1, n), seed=31)[0]
+    a32 = jnp.asarray(a64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    _, r_mixed = richardson_refine(a32.astype(jnp.bfloat16), a32, b, iters=6, omega=1.0)
+    _, r_plain = richardson_refine(jnp.zeros_like(a32), a32, b, iters=6, omega=0.5)  # plain x += r
+    assert float(r_mixed[-1]) < float(r_plain[-1])
