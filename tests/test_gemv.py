@@ -129,3 +129,50 @@ def test_acc_gemv_df64_nonpow2_chunks():
     ref = np.asarray(a, np.float64) @ np.asarray(x, np.float64) + np.asarray(r, np.float64)
     got = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", precise=True)
     assert _rel(got, ref) < 2e-7
+
+
+def test_acc_gemv_df64_over_bf16():
+    # df64 arithmetic over bf16 storage rides the full-row Kahan path: the
+    # arithmetic must be exact on the *stored* (bf16-rounded) values
+    m, n = 128, 1024
+    a64, x64, r64 = _data(m, n, seed=31)
+    a = jnp.asarray(a64, jnp.float32).astype(jnp.bfloat16)
+    x = jnp.asarray(x64, jnp.float32).astype(jnp.bfloat16)
+    r = jnp.asarray(r64, jnp.float32)
+    ref_stored = (
+        np.asarray(a.astype(jnp.float32), np.float64)
+        @ np.asarray(x.astype(jnp.float32), np.float64)
+        + np.asarray(r, np.float64)
+    )
+    got = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", precise=True)
+    assert got.dtype == jnp.float32
+    assert _rel(got, ref_stored) < 2e-7
+    got_fast = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64")
+    assert _rel(got_fast, ref_stored) < 4e-7
+
+
+def test_acc_gemv_df64_over_f16():
+    m, n = 64, 512
+    a64, x64, r64 = _data(m, n, seed=37)
+    a = jnp.asarray(a64, jnp.float32).astype(jnp.float16)
+    x = jnp.asarray(x64, jnp.float32).astype(jnp.float16)
+    r = jnp.asarray(r64, jnp.float32)
+    ref_stored = (
+        np.asarray(a.astype(jnp.float32), np.float64)
+        @ np.asarray(x.astype(jnp.float32), np.float64)
+        + np.asarray(r, np.float64)
+    )
+    got = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", precise=True)
+    assert _rel(got, ref_stored) < 2e-7
+
+
+def test_acc_gemv_df64_single_chunk():
+    # n = 128: exactly one lane chunk -> single Kahan chain
+    m, n = 32, 128
+    a64, x64, r64 = _data(m, n, seed=41)
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    ref = np.asarray(a, np.float64) @ np.asarray(x, np.float64) + np.asarray(r, np.float64)
+    got = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", precise=True)
+    assert _rel(got, ref) < 2e-7
