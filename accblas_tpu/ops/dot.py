@@ -10,8 +10,9 @@ TPU-native rebuild of the reference's DOT family (``cuda/dot_kernels.cuh``):
   block-reduce analogue).
 - ``kernel::acc_dot`` (``cuda/dot_kernels.cuh:131-161``) is the same body
   written against accessor ranges: storage dtype decoupled from arithmetic
-  dtype via cast-on-load. df64 arithmetic uses the cascaded compensated fold
-  (ops.df64.cascaded_fold) so the kernel stays HBM-bandwidth-bound.
+  dtype via cast-on-load. df64 arithmetic uses interleaved Kahan compensated
+  chains (4 VPU ops/elem) so the kernel stays HBM-bandwidth-bound even in
+  precise (exact two_prod) mode.
 - ``cublas_dot`` (``cuda/dot_kernels.cuh:268-299``) maps to `xla_dot`
   (XLA's own reduction — the vendor tier).
 - The ``init_res`` zeroing kernel and the 16-byte device scratch of
@@ -40,7 +41,58 @@ from .common import as_rows128, compiler_params, interpret_default, pow2_ceil
 # (rows, 128) per grid step; df64 keeps smaller blocks (compensated-fold
 # temporaries live in VMEM), plain tiers use larger ones (measured +2% at 2048)
 MAX_BLOCK_ROWS = 2048
-MAX_BLOCK_ROWS_DF64 = 1024
+MAX_BLOCK_ROWS_DF64 = 2048  # bigger blocks measured +6% for precise mode
+DF_ROWS_ACC = 32  # Kahan chunk rows per chain
+DF_CHAINS = 2  # interleaved chains
+
+# below this many input bytes the operands fit VMEM and XLA keeps them
+# resident across repeated calls (e.g. a solver's iteration loop) — a Pallas
+# kernel re-streams HBM every call and measured 161-181 GFLOP/s against
+# XLA's 851-1390 at n <= 2^22. The small-n mode expresses the SAME tier
+# algorithm in jnp ops so the compiler owns placement (the TPU analogue of
+# the reference's L2-resident small sizes).
+RESIDENT_BYTES = 32 * 2**20
+
+
+def _dot_small(x, y, ar: str, precise: bool, init):
+    """XLA-composed small-n DOT with identical tier semantics.
+
+    fast df64: f32 products + exact two_sum halving tree (compensated, flat
+    error); precise df64: exact two_prod products too. Fixed tiers: products
+    and pairwise accumulation in the arithmetic dtype.
+    """
+    if ar == "df64":
+        xa = x.astype(jnp.float32)
+        ya = y.astype(jnp.float32)
+        if precise:
+            p, e = dfm.two_prod(xa, ya)
+        else:
+            p, e = xa * ya, None
+        p2 = as_rows128(p)
+        e2 = as_rows128(e) if e is not None else None
+        d = dfm.cascaded_fold(p2, out_rows=8, err=e2)
+        tot = dfm.df_fold_lanes(dfm.df_fold_rows(d, 1), 1)
+        tot = dfm.df_add(tot, dfm.df_from(jnp.float32(0.0 if init is None else init)))
+        return tot.hi[0, 0], tot.lo[0, 0]
+    ar_dt = dtypes.jnp_dtype(ar)
+    p = (x.astype(ar_dt) * y.astype(ar_dt)).astype(ar_dt)
+    p2 = as_rows128(p)
+    # pairwise halving tree in the arithmetic dtype (the tier's defining
+    # rounding), matching the Pallas kernel's accumulation structure
+    while p2.shape[0] > 1:
+        half = p2.shape[0] // 2
+        top = p2[:half] + p2[half : 2 * half]
+        if p2.shape[0] % 2:
+            top = jnp.concatenate([top[:1] + p2[2 * half :], top[1:]], 0)
+        p2 = top
+    w = p2.shape[1]
+    while w > 1:
+        w //= 2
+        p2 = p2[:, :w] + p2[:, w : 2 * w]
+    total = p2[0, 0]
+    if init is not None:
+        total = (total.astype(jnp.float32) + init).astype(ar_dt)
+    return total.astype(jnp.float32), jnp.float32(0.0)
 
 
 def _dot_kernel(
@@ -59,6 +111,8 @@ def _dot_kernel(
     block_rows: int,
     n_steps: int,
     precise: bool,
+    rows_acc: int = 8,
+    chains: int = 1,
 ):
     i = pl.program_id(0)
     ragged = rows_total % block_rows != 0
@@ -93,10 +147,37 @@ def _dot_kernel(
             p = jnp.where(rowid < valid, p, 0.0)
             if e is not None:
                 e = jnp.where(rowid < valid, e, 0.0)
-        part = dfm.cascaded_fold(p, out_rows=acc_hi.shape[0], err=e)
-        acc = dfm.df_add(dfm.DF(acc_hi[...], acc_lo[...]), part)
-        acc_hi[...] = acc.hi
-        acc_lo[...] = acc.lo
+        # interleaved compensated chains at (rows_acc, 128) granularity:
+        # acc_hi holds the running sums s of all chains stacked, acc_lo the
+        # compensation channel c. Full-tile shapes at high VPU occupancy
+        # replace the reference's per-thread fp64 partials + shared-memory
+        # reduce (cuda/kernel_utils.cuh:69-89).
+        #
+        # fast mode: Kahan (4 VPU ops/elem, c = pending deficit) — error
+        #   stays at the f32 product-rounding floor, flat in n (the tier's
+        #   defining error; matches the reference's Acc<fp64,fp32> plots).
+        # precise mode: exact two_sum chains (c = exact running error, plus
+        #   the two_prod low words) — arithmetic error ~2^-48, first-order
+        #   losses zero (Kahan's per-step capture is only first-order, which
+        #   would bury the exact product corrections).
+        s_all = acc_hi[...]
+        c_all = acc_lo[...]
+        ss = [s_all[ch * rows_acc : (ch + 1) * rows_acc] for ch in range(chains)]
+        cs = [c_all[ch * rows_acc : (ch + 1) * rows_acc] for ch in range(chains)]
+        for k0 in range(block_rows // rows_acc):
+            ch = k0 % chains
+            pk = p[k0 * rows_acc : (k0 + 1) * rows_acc]
+            if precise:
+                s_new, e_new = dfm.two_sum(ss[ch], pk)
+                cs[ch] = cs[ch] + (e_new + e[k0 * rows_acc : (k0 + 1) * rows_acc])
+                ss[ch] = s_new
+            else:
+                y = pk - cs[ch]
+                t = ss[ch] + y
+                cs[ch] = (t - ss[ch]) - y
+                ss[ch] = t
+        acc_hi[...] = jnp.concatenate(ss, 0)
+        acc_lo[...] = jnp.concatenate(cs, 0)
     else:
         ar_dt = dtypes.jnp_dtype(ar)
         xa = rx.load()
@@ -118,9 +199,21 @@ def _dot_kernel(
     @pl.when(i == n_steps - 1)
     def _finish():
         if ar == "df64":
-            t = dfm.df_fold_lanes(
-                dfm.df_fold_rows(dfm.DF(acc_hi[...], acc_lo[...]), 1), 1
-            )
+            s_all = acc_hi[...]
+            c_all = acc_lo[...]
+            # per chain: precise's c is the exact accumulated error (+c);
+            # Kahan's c is the pending deficit (-c). Combine chains exactly.
+            sign = 1.0 if precise else -1.0
+            tot = dfm.DF(s_all[:rows_acc], sign * c_all[:rows_acc])
+            for ch in range(1, chains):
+                tot = dfm.df_add(
+                    tot,
+                    dfm.DF(
+                        s_all[ch * rows_acc : (ch + 1) * rows_acc],
+                        sign * c_all[ch * rows_acc : (ch + 1) * rows_acc],
+                    ),
+                )
+            t = dfm.df_fold_lanes(dfm.df_fold_rows(tot, 1), 1)
             hi_ref[0, 0] = t.hi[0, 0]
             lo_ref[0, 0] = t.lo[0, 0]
         else:
@@ -134,9 +227,14 @@ def _dot_kernel(
             lo_ref[0, 0] = jnp.float32(0.0)
 
 
-def _dot_call(x, y, ar: str, precise: bool, interpret, init=None):
+def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None):
     if x.shape != y.shape or x.ndim != 1:
         raise ValueError(f"dot expects equal-length vectors, got {x.shape} {y.shape}")
+    in_bytes = x.shape[0] * (x.dtype.itemsize + y.dtype.itemsize)
+    if resident is None:
+        resident = in_bytes <= RESIDENT_BYTES and jax.default_backend() == "tpu"
+    if resident:
+        return _dot_small(x, y, ar, precise, init)
     spec_x = ReducedRowMajor(ar, dtypes.canon(x.dtype))
     spec_y = ReducedRowMajor(ar, dtypes.canon(y.dtype))
     if interpret is None:
@@ -152,6 +250,14 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None):
     sub = 16 if ar == "bf16" else 8
     block_rows = min(cap, pow2_ceil(max(rows, sub)))
     n_steps = pl.cdiv(rows, block_rows)
+
+    # df64 Kahan accumulator geometry: (rows_acc, 128) chunks over `chains`
+    # interleaved chains (32-row chunks = 4 vregs per op keep the VPU
+    # pipeline fed; 2 chains hide the serial dependency)
+    rows_acc = min(DF_ROWS_ACC, block_rows)
+    chains = DF_CHAINS if block_rows >= DF_CHAINS * rows_acc else 1
+    if ar == "df64":
+        sub = rows_acc * chains
     acc_dt = jnp.float32 if ar == "df64" else dtypes.jnp_dtype(ar)
 
     kernel = functools.partial(
@@ -163,6 +269,8 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None):
         block_rows=block_rows,
         n_steps=n_steps,
         precise=precise,
+        rows_acc=rows_acc,
+        chains=chains,
     )
     init2 = jnp.full((1, 1), 0.0 if init is None else init, jnp.float32)
     hi, lo = pl.pallas_call(
@@ -197,20 +305,23 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None):
     return hi[0, 0], lo[0, 0]
 
 
-def dot(x, y, *, init=None, interpret=None):
+def dot(x, y, *, init=None, interpret=None, resident=None):
     """Fixed-precision DOT: arithmetic type == storage type.
 
     The hand-written variant tier (reference ``dot`` launcher,
     ``cuda/dot_kernels.cuh:192-206``). Returns a scalar in the storage dtype.
-    `init` seeds the accumulator (default 0).
+    `init` seeds the accumulator (default 0). `resident` selects the
+    XLA-composed small-n mode (default: auto by size on TPU).
     """
     ar = dtypes.canon(x.dtype)
-    hi, _ = _dot_call(x, y, ar, precise=False, interpret=interpret, init=init)
+    hi, _ = _dot_call(x, y, ar, precise=False, interpret=interpret, init=init,
+                      resident=resident)
     return hi.astype(dtypes.jnp_dtype(ar))
 
 
 def acc_dot(
-    x, y, ar="df64", *, precise: bool = False, res_dtype=None, init=None, interpret=None
+    x, y, ar="df64", *, precise: bool = False, res_dtype=None, init=None,
+    interpret=None, resident=None
 ):
     """Accessor mixed-precision DOT (reference ``acc_dot``,
     ``cuda/dot_kernels.cuh:224-263``).
@@ -226,7 +337,8 @@ def acc_dot(
     ``cast_result`` analogue (``cuda/dot_kernels.cuh:168-173``).
     """
     ar = dtypes.canon(ar)
-    hi, lo = _dot_call(x, y, ar, precise=precise, interpret=interpret, init=init)
+    hi, lo = _dot_call(x, y, ar, precise=precise, interpret=interpret, init=init,
+                       resident=resident)
     if ar == "df64":
         out = dfm.DF(hi, lo)
         if res_dtype is not None:

@@ -39,6 +39,60 @@ from .common import compiler_params, interpret_default, pow2_ceil
 BM_MAX = 1024  # row-block (measured +2% over 512 for bf16 at 16384^2)
 BN_MAX = 1024  # column-block
 
+# below this matrix size XLA keeps operands VMEM-resident across repeated
+# calls while a Pallas kernel re-streams HBM (see ops.dot.RESIDENT_BYTES);
+# the small mode expresses the same tier algorithm in jnp ops
+RESIDENT_BYTES = 16 * 2**20
+
+
+def _gemv_small(a, x, res, alpha, beta, ar: str, precise: bool, st_out: str):
+    """XLA-composed small GEMV with identical tier semantics."""
+    m, n = a.shape
+    rv = jnp.where(
+        beta == 0.0,
+        jnp.zeros((m,), jnp.float32),
+        res.astype(jnp.float32) * jnp.float32(beta),
+    )
+    if ar == "df64":
+        xa = x.astype(jnp.float32)
+        av = a.astype(jnp.float32)
+        if precise:
+            p, e = dfm.two_prod(av, xa[None, :])
+        else:
+            p, e = av * xa[None, :], None
+        # exact two_sum halving over the column axis (compensated, flat error)
+        err = e
+        s = p
+        while s.shape[1] > 1:
+            half = s.shape[1] // 2
+            s_new, e2 = dfm.two_sum(s[:, :half], s[:, half : 2 * half])
+            err_new = e2 if err is None else err[:, :half] + err[:, half : 2 * half] + e2
+            if s.shape[1] % 2:
+                s0, e0 = dfm.two_sum(s_new[:, :1], s[:, 2 * half :])
+                err0 = err_new[:, :1] + e0 + (
+                    err[:, 2 * half :] if err is not None else 0.0
+                )
+                s_new = jnp.concatenate([s0, s_new[:, 1:]], 1)
+                err_new = jnp.concatenate([err0, err_new[:, 1:]], 1)
+            s, err = s_new, err_new
+        tot = dfm.DF(s[:, 0], err[:, 0])
+        out = dfm.df_add(dfm.df_mul_f32(tot, jnp.float32(alpha)), dfm.df_from(rv))
+        return dfm.df_to_f32(out).astype(dtypes.jnp_dtype(st_out))
+    ar_dt = dtypes.jnp_dtype(ar)
+    narrow_native = (
+        a.dtype == x.dtype and a.dtype in (jnp.bfloat16, jnp.float16) and ar == "f32"
+    )
+    if narrow_native:
+        val = jnp.matmul(a, x, preferred_element_type=jnp.float32)
+    else:
+        prec = jax.lax.Precision.HIGHEST if ar_dt == jnp.float32 else None
+        val = jnp.matmul(
+            a.astype(ar_dt), x.astype(ar_dt), precision=prec,
+            preferred_element_type=jnp.float32,
+        ).astype(ar_dt)
+    out = val.astype(jnp.float32) * jnp.float32(alpha) + rv
+    return out.astype(dtypes.jnp_dtype(ar)).astype(dtypes.jnp_dtype(st_out))
+
 
 def _gemv_kernel(
     alpha_ref,
@@ -303,13 +357,21 @@ def _gemv_fullrow_call(
     return out.reshape(m)
 
 
-def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret):
+def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, resident=None):
     m, n = a.shape
     if x.shape != (n,) or res.shape != (m,):
         raise ValueError(f"shape mismatch: A{a.shape} x{x.shape} res{res.shape}")
     if interpret is None:
         interpret = interpret_default()
     st_out = dtypes.canon(res.dtype)
+
+    if resident is None:
+        resident = (
+            m * n * jnp.dtype(a.dtype).itemsize <= RESIDENT_BYTES
+            and jax.default_backend() == "tpu"
+        )
+    if resident:
+        return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out)
 
     # full-row VPU path: f32 arithmetic over f32 storage (fastest exact
     # form), and df64 arithmetic over ANY storage (the Kahan chains ride the
@@ -388,19 +450,23 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret):
     return out.reshape(m)
 
 
-def gemv(a, x, res, alpha=1.0, beta=1.0, *, interpret=None):
+def gemv(a, x, res, alpha=1.0, beta=1.0, *, interpret=None, resident=None):
     """Fixed-precision GEMV: arithmetic == storage dtype (reference ``gemv``
-    launcher, ``cuda/gemv_kernels.cuh:136-147``)."""
+    launcher, ``cuda/gemv_kernels.cuh:136-147``). `resident` selects the
+    XLA-composed small-matrix mode (default: auto by size on TPU)."""
     ar = dtypes.canon(a.dtype)
-    return _gemv_call(a, x, res, alpha, beta, ar, precise=False, interpret=interpret)
+    return _gemv_call(a, x, res, alpha, beta, ar, precise=False,
+                      interpret=interpret, resident=resident)
 
 
-def acc_gemv(a, x, res, alpha=1.0, beta=1.0, ar="df64", *, precise=False, interpret=None):
+def acc_gemv(a, x, res, alpha=1.0, beta=1.0, ar="df64", *, precise=False,
+             interpret=None, resident=None):
     """Accessor mixed-precision GEMV (reference ``acc_gemv``,
     ``cuda/gemv_kernels.cuh:168-193``): storage dtypes from the arrays,
     arithmetic per `ar` ('f32' | 'df64' | 'bf16')."""
     ar = dtypes.canon(ar)
-    return _gemv_call(a, x, res, alpha, beta, ar, precise=precise, interpret=interpret)
+    return _gemv_call(a, x, res, alpha, beta, ar, precise=precise,
+                      interpret=interpret, resident=resident)
 
 
 def xla_gemv(a, x, res, alpha=1.0, beta=1.0):

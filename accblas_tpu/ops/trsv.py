@@ -19,15 +19,18 @@ structure:
   ``cuda/trsv_kernels.cuh:22-29``) and inverted *in parallel* with a batched
   triangular solve — the Gauss–Jordan-in-shared-memory step
   (``cuda/trsv_kernels.cuh:125-162``), hoisted out of the sequential sweep.
-- **Phase 2 (Pallas sweep)**: a 2-D (block-row i, block-column j) grid whose
-  sequential iteration order *is* the dependency order — the ticket +
-  spin-lock + threadfence protocol is simply grid order on a TPU core. The
-  solved prefix of x lives in a VMEM scratch carried across steps (the
-  published-x global array analogue), corrections accumulate per block-row,
-  and the diagonal step applies the pre-inverted block via the MXU.
-  Steps in the empty triangle (j > i for lower) remap their A-block index to
-  the diagonal block — Pallas skips DMA when consecutive steps map to the
-  same block, so the dead half of the grid costs no bandwidth.
+- **Phase 2 (Pallas sweep)**: a 1-D grid enumerating exactly the live
+  triangle blocks in dependency order — (block-row i, block-column j <= i)
+  pairs delivered via scalar prefetch, so the ticket + spin-lock +
+  threadfence protocol is simply grid order on a TPU core and the dead half
+  of a rectangular grid never runs (a rectangular 2-D grid with dead-step
+  DMA aliasing measured ~36% per-step overhead at n=16384). The solved
+  prefix of x lives in a VMEM scratch carried across steps (the published-x
+  global array analogue), corrections accumulate per block-row, and the
+  diagonal step applies the pre-inverted leaf blocks via the MXU.
+- **TRSM**: the same sweep with nrhs right-hand sides carried as (k, B)
+  row-panels — the per-step vector dots become (k, B)x(B, B) MXU GEMMs.
+  The reference has no TRSM; this generalizes its TRSV design.
 
 The accessor tier (``acc_trsv``, reference ``cuda/trsv_kernels.cuh:918-961``)
 decouples storage (bf16/f32) from arithmetic: cast-on-load feeds the f32 MXU
@@ -116,6 +119,7 @@ def _leaf_inverses(a, nb: int, block: int, leaf: int, lower: bool, unit: bool, i
 
 
 def _trsv_kernel(
+    ij_ref,
     a_ref,
     invt_ref,
     b_ref,
@@ -125,15 +129,16 @@ def _trsv_kernel(
     *,
     nb: int,
     lower: bool,
+    leaf: int,
     st_out: str,
 ):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    t = pl.program_id(0)
+    i = ij_ref[0, t]
+    j = ij_ref[1, t]
     # logical block coordinates (reversed sweep for upper triangles —
     # reference upper_trsv walks from the bottom-right, cuda/trsv_kernels.cuh:306-309)
-    bj_eff = jnp.minimum(j, i)  # clamp: dead steps alias the diagonal block
     bi = i if lower else nb - 1 - i
-    bj = bj_eff if lower else nb - 1 - bj_eff
+    bj = j if lower else nb - 1 - j
 
     @pl.when(j == 0)
     def _reset():
@@ -144,8 +149,9 @@ def _trsv_kernel(
     @pl.when(j < i)
     def _update():
         # correction += x[bj] · A(bi, bj)^T  — the "consume published block
-        # columns" step (cuda/trsv_kernels.cuh:184-199), MXU rhs-transposed dot
-        x_row = x_scr[pl.ds(bj, 1), :]  # (1, B) solved block
+        # columns" step (cuda/trsv_kernels.cuh:184-199); the solved block
+        # rides as a (k, B) row-panel so nrhs > 1 turns this into an MXU GEMM
+        x_row = x_scr[bj]  # (k, B) solved block
         corr[...] = corr[...] + jax.lax.dot_general(
             x_row,
             a_blk,
@@ -161,14 +167,14 @@ def _trsv_kernel(
         # block at leaf granularity using the pre-inverted leaf blocks —
         # the a_blk slices are static, the dots ride the MXU
         rhs = b_ref[0].astype(jnp.float32) - corr[...]
-        nleaf = a_blk.shape[0] // LEAF
+        nleaf = a_blk.shape[0] // leaf
         order = range(nleaf) if lower else range(nleaf - 1, -1, -1)
         xs = [None] * nleaf
         for s in order:
-            r_s = rhs[:, s * LEAF : (s + 1) * LEAF]
+            r_s = rhs[:, s * leaf : (s + 1) * leaf]
             deps = range(s) if lower else range(s + 1, nleaf)
             for t2 in deps:
-                d_st = a_blk[s * LEAF : (s + 1) * LEAF, t2 * LEAF : (t2 + 1) * LEAF]
+                d_st = a_blk[s * leaf : (s + 1) * leaf, t2 * leaf : (t2 + 1) * leaf]
                 r_s = r_s - jax.lax.dot_general(
                     xs[t2],
                     d_st,
@@ -184,59 +190,78 @@ def _trsv_kernel(
                 precision=jax.lax.Precision.HIGHEST,
             )
         x_row = jnp.concatenate(xs, axis=1)
-        x_scr[pl.ds(bi, 1), :] = x_row  # publish (threadfence+flag analogue)
+        x_scr[bi] = x_row  # publish (threadfence+flag analogue)
         x_out_ref[0] = x_row.astype(dtypes.jnp_dtype(st_out))
 
 
-def _trsv_sweep(a, invt, b2, nb: int, block: int, lower: bool, st_out: str, interpret):
-    def a_index(i, j):
-        bj_eff = jnp.minimum(j, i)
-        if lower:
-            return (i, bj_eff)
-        return (nb - 1 - i, nb - 1 - bj_eff)
+def _tri_pairs(nb: int, lower: bool):
+    """Dependency-ordered (i, j<=i) enumeration of the live triangle blocks,
+    as an int32 (2, steps) array for scalar prefetch (the ticket order,
+    cuda/trsv_kernels.cuh:94-97, computed host-side instead of atomicInc)."""
+    import numpy as np
 
-    def row_index(i, j):
-        return (i, 0) if lower else (nb - 1 - i, 0)
+    pairs = [(i, j) for i in range(nb) for j in range(i + 1)]
+    ij = np.asarray(pairs, np.int32).T.copy()
+    return jnp.asarray(ij)
+
+
+def _trsv_sweep(a, invt, b2, nb: int, block: int, lower: bool, st_out: str, interpret,
+                leaf: int = LEAF, nrhs: int = 1):
+    steps = nb * (nb + 1) // 2
+    ij = _tri_pairs(nb, lower)
+
+    def a_index(t, ij_ref):
+        i = ij_ref[0, t]
+        j = ij_ref[1, t]
+        if lower:
+            return (i, j)
+        return (nb - 1 - i, nb - 1 - j)
+
+    def row_index(t, ij_ref):
+        i = ij_ref[0, t]
+        return (i, 0, 0) if lower else (nb - 1 - i, 0, 0)
 
     kernel = functools.partial(
-        _trsv_kernel, nb=nb, lower=lower, st_out=st_out
+        _trsv_kernel, nb=nb, lower=lower, leaf=leaf, st_out=st_out
     )
     out = pl.pallas_call(
         kernel,
-        grid=(nb, nb),
-        in_specs=[
-            pl.BlockSpec((block, block), a_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, block // LEAF, LEAF, LEAF),
-                lambda i, j: (row_index(i, j)[0], 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            # rows ride as (nb, 1, block): Mosaic requires the last two block
-            # dims be 8/128-divisible or equal to the array dims
-            pl.BlockSpec((1, 1, block), lambda i, j: (row_index(i, j)[0], 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block), lambda i, j: (row_index(i, j)[0], 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 1, block), dtypes.jnp_dtype(st_out)),
-        scratch_shapes=[
-            pltpu.VMEM((nb, block), jnp.float32),  # solved x (whole vector)
-            pltpu.VMEM((1, block), jnp.float32),  # correction accumulator
-        ],
-        compiler_params=compiler_params(
-            dimension_semantics=("arbitrary", "arbitrary")
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((block, block), a_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, block // leaf, leaf, leaf),
+                    lambda t, ij_ref: (row_index(t, ij_ref)[0], 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                # rows ride as (nb, k, block): Mosaic requires the last two
+                # block dims be 8/128-divisible or equal to the array dims
+                pl.BlockSpec((1, nrhs, block), row_index, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nrhs, block), row_index, memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((nb, nrhs, block), jnp.float32),  # solved x panels
+                pltpu.VMEM((nrhs, block), jnp.float32),  # correction accumulator
+            ],
         ),
+        out_shape=jax.ShapeDtypeStruct((nb, nrhs, block), dtypes.jnp_dtype(st_out)),
+        compiler_params=compiler_params(dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=nb * (nb + 1) * block * block,
+            flops=nb * (nb + 1) * block * block * nrhs,
             bytes_accessed=(nb * (nb + 1) // 2) * block * block * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a, invt, b2.reshape(nb, 1, block))
-    return out.reshape(nb, block)
+    )(ij, a, invt, b2.reshape(nb, nrhs, block))
+    return out
 
 
-def _pad_packed(a, b, block: int):
+def _pad_packed(a, bt, block: int):
     """Pad the LU-packed matrix to a block multiple with an identity diagonal
-    (padding rows solve to x = 0 for zero-padded b)."""
+    (padding rows solve to x = 0 for zero-padded rhs). `bt` is the rhs —
+    (n,) for a single vector or (k, n) row-panel form."""
     n = a.shape[0]
     nb = pl.cdiv(n, block)
     npad = nb * block
@@ -244,34 +269,143 @@ def _pad_packed(a, b, block: int):
         a = jnp.pad(a, ((0, npad - n), (0, npad - n)))
         pad_idx = jnp.arange(n, npad)
         a = a.at[pad_idx, pad_idx].set(1.0)
-        b = jnp.pad(b, (0, npad - n))
-    return a, b, nb, npad
+        if bt.ndim == 1:
+            bt = jnp.pad(bt, (0, npad - n))
+        else:
+            bt = jnp.pad(bt, ((0, 0), (0, npad - n)))
+    return a, bt, nb, npad
 
 
-def _trsv_impl(a, b, uplo: str, unit: bool, interpret, st_out: str):
+# VMEM budget for the solved-x scratch (nb * nrhs * block * 4 bytes): split
+# wide right-hand-side panels into groups no bigger than this
+_TRSM_SCR_BYTES = 6 * 2**20
+
+# below this n the f32 matrix fits VMEM and XLA keeps it resident across
+# repeated solves, which the HBM-streaming Pallas sweep cannot match (XLA's
+# own TriangularSolve measured 196/305 GF/s at n=1024/2048 vs the sweep's
+# 134/204; at n >= 4096 the sweep wins 1.7-4.8x). The small mode runs the
+# SAME two-level algorithm (leaf inverses + blocked substitution) as jnp ops.
+RESIDENT_N = 2048
+
+
+def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
+    """XLA-composed small-n TRSV for the compiler-resident regime.
+
+    Same blocked-substitution structure as the Pallas sweep, but the diagonal
+    blocks are fully inverted (the leaf level collapses: a handful of big
+    matvecs beats many 64-wide ones when everything is VMEM-resident, and in
+    a repeated-solve loop XLA hoists the inversions — they depend only on the
+    matrix). Diagonal-block inversion error is ~cond(T_bb)*eps_f32 — same
+    class as the reference's in-kernel Gauss-Jordan inverses
+    (cuda/trsv_kernels.cuh:125-162), checked by tests against substitution."""
+    n = a.shape[0]
+    lower = uplo == "lower"
+    block = _block_for(n)
+    a_p, b_p, nb, npad = _pad_packed(a, b.astype(jnp.float32), block)
+    af = a_p.astype(jnp.float32)
+
+    # block-diagonal extraction via reshape-gather (cheap at this size; the
+    # Pallas diagonal DMA is for the n^2-large case)
+    d = af.reshape(nb, block, nb, block)[jnp.arange(nb), :, jnp.arange(nb), :]
+    r = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    tri = (r >= c) if lower else (r <= c)
+    d = jnp.where(tri[None], d, 0.0)
+    if unit:
+        d = jnp.where((r == c)[None], 1.0, d)
+    eye = jnp.broadcast_to(jnp.eye(block, dtype=jnp.float32), d.shape)
+    with jax.default_matmul_precision("highest"):
+        inv = jax.lax.linalg.triangular_solve(
+            d, eye, left_side=True, lower=lower, unit_diagonal=False
+        )  # (nb, block, block)
+
+    hi = jax.lax.Precision.HIGHEST
+    xs: list = [None] * nb  # solved (block,) pieces, logical block index
+    order = range(nb) if lower else range(nb - 1, -1, -1)
+    for bi in order:
+        rhs = b_p[bi * block : (bi + 1) * block]
+        done = [bj for bj in (range(bi) if lower else range(bi + 1, nb))]
+        if done:
+            lo_c, hi_c = done[0] * block, (done[-1] + 1) * block
+            xcat = jnp.concatenate([xs[bj] for bj in done])
+            rhs = rhs - jnp.matmul(
+                af[bi * block : (bi + 1) * block, lo_c:hi_c], xcat, precision=hi
+            )
+        xs[bi] = jnp.matmul(inv[bi], rhs, precision=hi)
+    x = jnp.concatenate(xs)
+    return x[:n].astype(dtypes.jnp_dtype(st_out))
+
+
+def _block_for(n: int) -> int:
+    """Sweep block size: 512 measured best at every probed n >= 1024 (even
+    nb=2); below that shrink so padding stays bounded."""
+    if n >= 1024:
+        return BLOCK
+    if n >= 512:
+        return 256
+    return 128
+
+
+def _trsv_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=None):
     n = a.shape[0]
     if a.shape != (n, n) or b.shape != (n,):
         raise ValueError(f"trsv needs square A and matching b, got {a.shape}, {b.shape}")
+    if resident is None:
+        resident = n <= RESIDENT_N and jax.default_backend() == "tpu"
+    if resident:
+        return _trsv_small(a, b, uplo, unit, st_out)
+    x = _trsm_impl(a, b.reshape(n, 1), uplo, unit, interpret, st_out)
+    return x.reshape(n)
+
+
+def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str):
+    """Solve T X = B for B of shape (n, k); returns X (n, k)."""
+    n = a.shape[0]
+    k = b.shape[1]
+    if a.shape != (n, n) or b.shape[0] != n:
+        raise ValueError(f"trsm needs square A and (n, k) B, got {a.shape}, {b.shape}")
     lower = uplo == "lower"
     if interpret is None:
         interpret = interpret_default()
-    a_p, b_p, nb, npad = _pad_packed(a, b, BLOCK)
-    invt = _leaf_inverses(a_p, nb, BLOCK, LEAF, lower, unit, interpret)
-    x = _trsv_sweep(
-        a_p, invt, b_p.reshape(nb, BLOCK), nb, BLOCK, lower, st_out, interpret
-    )
-    return x.reshape(npad)[:n]
+    block = _block_for(n)
+    leaf = min(LEAF, block)
+    bt = b.T.astype(jnp.float32)  # (k, n) row-panel form
+    a_p, bt_p, nb, npad = _pad_packed(a, bt, block)
+    invt = _leaf_inverses(a_p, nb, block, leaf, lower, unit, interpret)
+
+    # rhs panels padded to a sublane multiple; wide panels split into groups
+    # bounded by the solved-x scratch budget
+    group = max(8, min(128, _TRSM_SCR_BYTES // (4 * npad) // 8 * 8))
+    outs = []
+    for g0 in range(0, k, group):
+        gk = min(group, k - g0)
+        gk_pad = max(8, -(-gk // 8) * 8) if gk > 1 else 1
+        bt_g = bt_p[g0 : g0 + gk]
+        if gk_pad != gk:
+            bt_g = jnp.pad(bt_g, ((0, gk_pad - gk), (0, 0)))
+        b2 = bt_g.reshape(gk_pad, nb, block).transpose(1, 0, 2)
+        x = _trsv_sweep(
+            a_p, invt, b2, nb, block, lower, st_out, interpret,
+            leaf=leaf, nrhs=gk_pad,
+        )  # (nb, gk_pad, block)
+        xt = x.transpose(1, 0, 2).reshape(gk_pad, npad)
+        outs.append(xt[:gk, :n])
+    return jnp.concatenate(outs, 0).T  # (n, k)
 
 
-def trsv(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None):
+def trsv(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None,
+         resident=None):
     """Fixed-precision TRSV (reference ``trsv`` launcher,
     ``cuda/trsv_kernels.cuh:455-488``; the benchmark default is upper/unit,
     ``cuda/trsv_benchmark.cu:26-27``). A holds a full (e.g. LU-packed) matrix;
-    only the selected triangle is read."""
-    return _trsv_impl(a, b, uplo, unit, interpret, st_out=dtypes.canon(b.dtype))
+    only the selected triangle is read. `resident` selects the XLA-composed
+    small-n mode (default: auto by size on TPU)."""
+    return _trsv_impl(a, b, uplo, unit, interpret, st_out=dtypes.canon(b.dtype),
+                      resident=resident)
 
 
-def acc_trsv(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *, interpret=None):
+def acc_trsv(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
+             interpret=None, resident=None):
     """Accessor mixed-precision TRSV (reference ``acc_trsv``,
     ``cuda/trsv_kernels.cuh:918-961``): storage from the arrays, arithmetic per
     `ar`. ar='f32' is the MXU sweep with cast-on-load; ar='df64' adds one
@@ -279,7 +413,7 @@ def acc_trsv(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *, i
     recurrence analogue)."""
     ar = dtypes.canon(ar)
     st_out = dtypes.canon(b.dtype)
-    x0 = _trsv_impl(a, b, uplo, unit, interpret, st_out="f32")
+    x0 = _trsv_impl(a, b, uplo, unit, interpret, st_out="f32", resident=resident)
     if ar == "f32":
         return x0.astype(dtypes.jnp_dtype(st_out))
     if ar != "df64":
@@ -288,7 +422,39 @@ def acc_trsv(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *, i
     from .tri_gemv import tri_gemv_df64
 
     r = tri_gemv_df64(a, x0, b, uplo=uplo, unit=unit, interpret=interpret)
-    dx = _trsv_impl(a, r, uplo, unit, interpret, st_out="f32")
+    dx = _trsv_impl(a, r, uplo, unit, interpret, st_out="f32", resident=resident)
+    return (x0 + dx).astype(dtypes.jnp_dtype(st_out))
+
+
+def trsm(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None):
+    """Fixed-precision multi-RHS triangular solve: T X = B, B of shape (n, k).
+
+    A capability beyond the reference (its TRSV design generalized:
+    ``cuda/trsv_kernels.cuh:69-235`` carries one rhs; here the solved blocks
+    ride as (k, B) row-panels so every per-step dot is an MXU GEMM)."""
+    return _trsm_impl(a, b, uplo, unit, interpret, st_out=dtypes.canon(b.dtype))
+
+
+def acc_trsm(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *, interpret=None):
+    """Accessor mixed-precision TRSM: storage from the arrays (bf16/f32),
+    f32 arithmetic via cast-on-load; ar='df64' adds one iterative-refinement
+    step with a df64-exact residual per column block."""
+    ar = dtypes.canon(ar)
+    st_out = dtypes.canon(b.dtype)
+    x0 = _trsm_impl(a, b, uplo, unit, interpret, st_out="f32")
+    if ar == "f32":
+        return x0.astype(dtypes.jnp_dtype(st_out))
+    if ar != "df64":
+        raise NotImplementedError(f"acc_trsm arithmetic {ar!r}")
+    from .tri_gemv import tri_gemv_df64
+
+    cols = []
+    for c in range(b.shape[1]):
+        r = tri_gemv_df64(a, x0[:, c], b[:, c].astype(jnp.float32), uplo=uplo,
+                          unit=unit, interpret=interpret)
+        cols.append(r)
+    r_all = jnp.stack(cols, 1)
+    dx = _trsm_impl(a, r_all, uplo, unit, interpret, st_out="f32")
     return (x0 + dx).astype(dtypes.jnp_dtype(st_out))
 
 
@@ -303,3 +469,15 @@ def xla_trsv(a, b, uplo: str = "upper", unit: bool = True):
         unit_diagonal=unit,
     )
     return x.reshape(-1).astype(b.dtype)
+
+
+def xla_trsm(a, b, uplo: str = "upper", unit: bool = True):
+    """Vendor-baseline multi-RHS tier (cublasStrsm analogue)."""
+    x = jax.lax.linalg.triangular_solve(
+        a.astype(jnp.float32),
+        b.astype(jnp.float32),
+        left_side=True,
+        lower=(uplo == "lower"),
+        unit_diagonal=unit,
+    )
+    return x.astype(b.dtype)

@@ -166,3 +166,35 @@ def test_acc_bf16_storage_small_n_regression():
         @ np.asarray(yb.astype(jnp.float32), np.float64)
     )
     assert _rel(float(got), ref) < 1e-5
+
+
+@pytest.mark.parametrize("ar_st", [("f32", jnp.float32), ("bf16", jnp.bfloat16)])
+def test_dot_resident_mode_matches(ar_st):
+    # the XLA-composed small-n mode must match the tier semantics
+    ar, st = ar_st
+    n = 10_000
+    x64, y64 = _vecs(n, seed=51)
+    x = jnp.asarray(x64, jnp.float32).astype(st)
+    y = jnp.asarray(y64, jnp.float32).astype(st)
+    ref = float(
+        np.asarray(x.astype(jnp.float32), np.float64)
+        @ np.asarray(y.astype(jnp.float32), np.float64)
+    )
+    got = dotops.dot(x, y, resident=True)
+    tol = 1e-5 if ar == "f32" else 0.1
+    assert _rel(float(got.astype(jnp.float32)), ref) < tol
+
+
+def test_acc_dot_resident_df64():
+    n = 100_000
+    x64, y64 = _vecs(n, seed=53)
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    ref = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+    out = dotops.acc_dot(x, y, ar="df64", precise=True, resident=True)
+    assert _rel(float(df64.df_to_f64(out)), ref) < 1e-12
+    out_f = dotops.acc_dot(x, y, ar="df64", resident=True)
+    assert _rel(float(df64.df_to_f64(out_f)), ref) < 5e-7
+    # init seeding works in resident mode too
+    out_i = dotops.dot(x, y, init=jnp.float32(2.5), resident=True)
+    assert _rel(float(out_i), ref + 2.5) < 1e-5

@@ -176,3 +176,37 @@ def test_acc_gemv_df64_single_chunk():
     ref = np.asarray(a, np.float64) @ np.asarray(x, np.float64) + np.asarray(r, np.float64)
     got = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", precise=True)
     assert _rel(got, ref) < 2e-7
+
+
+def test_gemv_resident_mode_matches():
+    m, n = 200, 1000
+    a64, x64, r64 = _data(m, n, seed=47)
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    ref = np.asarray(a, np.float64) @ np.asarray(x, np.float64) + np.asarray(r, np.float64)
+    got = gemvops.gemv(a, x, r, 1.0, 1.0, resident=True)
+    assert _rel(got, ref) < 1e-5
+    got_df = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", precise=True, resident=True)
+    assert _rel(got_df, ref) < 2e-7
+    # beta == 0 ignores res
+    got_b0 = gemvops.gemv(a, x, jnp.full_like(r, jnp.nan), 1.0, 0.0, resident=True)
+    ref_b0 = np.asarray(a, np.float64) @ np.asarray(x, np.float64)
+    assert _rel(got_b0, ref_b0) < 1e-5
+
+
+def test_acc_gemv_resident_bf16_storage():
+    m, n = 128, 512
+    a64, x64, r64 = _data(m, n, seed=53)
+    ab = jnp.asarray(a64, jnp.float32).astype(jnp.bfloat16)
+    xb = jnp.asarray(x64, jnp.float32).astype(jnp.bfloat16)
+    r = jnp.asarray(r64, jnp.float32)
+    ref = (
+        np.asarray(ab.astype(jnp.float32), np.float64)
+        @ np.asarray(xb.astype(jnp.float32), np.float64)
+        + np.asarray(r, np.float64)
+    )
+    got = gemvops.acc_gemv(ab, xb, r, 1.0, 1.0, ar="f32", resident=True)
+    assert _rel(got, ref) < 1e-5
+    got_df = gemvops.acc_gemv(ab, xb, r, 1.0, 1.0, ar="df64", resident=True)
+    assert _rel(got_df, ref) < 1e-6

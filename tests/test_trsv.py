@@ -96,3 +96,95 @@ def test_xla_trsv_baseline():
     ref = _ref_solve(lu, b64, "upper", False)
     got = trsvops.xla_trsv(jnp.asarray(lu, jnp.float32), jnp.asarray(b64, jnp.float32), unit=False)
     assert _rel(got, ref) < 5e-5
+
+
+def _ref_solve_multi(lu, B, uplo, unit):
+    t = np.tril(lu) if uplo == "lower" else np.triu(lu)
+    if unit:
+        np.fill_diagonal(t, 1.0)
+    return scipy.linalg.solve_triangular(t, B, lower=(uplo == "lower"), unit_diagonal=False)
+
+
+@pytest.mark.parametrize("uplo,unit", [("upper", False), ("lower", True)])
+def test_trsm_multi_rhs(uplo, unit):
+    n, k = 512, 12  # k not a sublane multiple: exercises rhs padding
+    lu, _ = _packed_lu(n, seed=17)
+    B64 = gen_mtx(MatrixInfo(k, n), seed=19).T  # (n, k)
+    ref = _ref_solve_multi(lu, B64, uplo, unit)
+    got = trsvops.trsm(
+        jnp.asarray(lu, jnp.float32), jnp.asarray(B64, jnp.float32), uplo=uplo, unit=unit
+    )
+    assert got.shape == (n, k)
+    rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4
+
+
+def test_trsm_matches_trsv_per_column():
+    n, k = 384, 3
+    lu, _ = _packed_lu(n, seed=23)
+    B64 = gen_mtx(MatrixInfo(k, n), seed=29).T
+    a = jnp.asarray(lu, jnp.float32)
+    Bj = jnp.asarray(B64, jnp.float32)
+    X = trsvops.trsm(a, Bj, uplo="upper", unit=False)
+    for c in range(k):
+        xc = trsvops.trsv(a, Bj[:, c], uplo="upper", unit=False)
+        np.testing.assert_allclose(
+            np.asarray(X[:, c]), np.asarray(xc), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_acc_trsm_bf16_storage():
+    n, k = 512, 8
+    lu, _ = _packed_lu(n, seed=31)
+    ab = jnp.asarray(lu, jnp.float32).astype(jnp.bfloat16)
+    B64 = gen_mtx(MatrixInfo(k, n), seed=37).T
+    lu_st = np.asarray(ab.astype(jnp.float32), np.float64)
+    ref = _ref_solve_multi(lu_st, B64, "upper", False)
+    got = trsvops.acc_trsm(ab, jnp.asarray(B64, jnp.float32), uplo="upper", unit=False, ar="f32")
+    rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-3
+
+
+def test_trsm_wide_rhs_group_split():
+    # k > the scratch-budget group size at this n would need a huge n; instead
+    # force grouping by monkeypatching the budget
+    import accblas_tpu.ops.trsv as tv
+
+    n, k = 256, 24
+    lu, _ = _packed_lu(n, seed=41)
+    B64 = gen_mtx(MatrixInfo(k, n), seed=43).T
+    old = tv._TRSM_SCR_BYTES
+    tv._TRSM_SCR_BYTES = 4 * n * 8 * 2  # group = 16 columns
+    try:
+        got = tv.trsm(jnp.asarray(lu, jnp.float32), jnp.asarray(B64, jnp.float32), uplo="upper", unit=False)
+    finally:
+        tv._TRSM_SCR_BYTES = old
+    ref = _ref_solve_multi(lu, B64, "upper", False)
+    rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4
+
+
+def test_xla_trsm_baseline():
+    n, k = 256, 4
+    lu, _ = _packed_lu(n, seed=47)
+    B64 = gen_mtx(MatrixInfo(k, n), seed=53).T
+    ref = _ref_solve_multi(lu, B64, "upper", False)
+    got = trsvops.xla_trsm(jnp.asarray(lu, jnp.float32), jnp.asarray(B64, jnp.float32), unit=False)
+    rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 5e-5
+
+
+@pytest.mark.parametrize("uplo,unit", [("upper", False), ("lower", False), ("upper", True)])
+def test_trsv_resident_mode_matches(uplo, unit):
+    n = 700  # non-block-multiple exercises padding in the resident path
+    lu, b64 = _packed_lu(n, seed=59)
+    ref = _ref_solve(lu, b64, uplo, unit)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    got = trsvops.trsv(a, b, uplo=uplo, unit=unit, resident=True)
+    assert _rel(got, ref) < 1e-4
+    # must agree with the Pallas sweep to f32-roundoff levels; the unit
+    # triangle of an LU factor is worse-conditioned, and the resident mode's
+    # 256-wide block inverses amplify more than the sweep's 64-wide leaves
+    got_sweep = trsvops.trsv(a, b, uplo=uplo, unit=unit, resident=False)
+    assert _rel(got, np.asarray(got_sweep, np.float64)) < (5e-5 if unit else 1e-5)
