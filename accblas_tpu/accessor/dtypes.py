@@ -6,25 +6,36 @@ The reference recovers the arithmetic type of an accessor expression with
 ``cuda/dot_kernels.cuh:138``, ``cuda/trsv_kernels.cuh:541,739``). Here the same
 role is played by an explicit promotion lattice over named arithmetic types:
 
-    bf16 < f32 < df64 < f64
+    f8e5m2 < f8e4m3 < bf16 < f16 < f32 < df64 < f64
 
-- ``f32``/``bf16``: native jnp dtypes.
+- ``f32``/``bf16``/``f16``: native jnp dtypes.
+- ``f8e4m3``/``f8e5m2``: 8-bit float *storage-only* tiers (extend the lattice
+  below bf16; see utils.matrix.convert_mtx stochastic rounding) — may appear
+  as `st`, never as `ar` (use `check_arithmetic`).
 - ``df64``: double-float (two-float32) emulated fp64 — the TPU-fast stand-in for
   the reference's fp64 arithmetic tier (see accblas_tpu.ops.df64).
 - ``f64``: true float64; only usable where XLA x64 is enabled (CPU tests,
   interpret mode) — kept for oracle parity tests, not for TPU hot paths.
 
-Storage types are plain jnp dtypes (bf16 / f16 / f32 / f64).
+Storage types are plain jnp dtypes (f8e4m3 / f8e5m2 / bf16 / f16 / f32 / f64).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-# canonical arithmetic-type names, in promotion order
-_ORDER = ("bf16", "f16", "f32", "df64", "f64")
+# canonical type names, in promotion order. The f8 formats extend the
+# lattice below bf16 as *storage-only* tiers (8-bit floats exist on TPU as
+# storage/convert formats; arithmetic happens after cast-on-load — use
+# STORAGE_ONLY to validate an `ar` request).
+_ORDER = ("f8e5m2", "f8e4m3", "bf16", "f16", "f32", "df64", "f64")
+
+# types that may appear as `st` but not as `ar`
+STORAGE_ONLY = frozenset({"f8e4m3", "f8e5m2"})
 
 _JNP = {
+    "f8e4m3": jnp.float8_e4m3fn,
+    "f8e5m2": jnp.float8_e5m2,
     "bf16": jnp.bfloat16,
     "f16": jnp.float16,
     "f32": jnp.float32,
@@ -32,6 +43,8 @@ _JNP = {
 }
 
 _FROM_JNP = {
+    jnp.dtype(jnp.float8_e4m3fn): "f8e4m3",
+    jnp.dtype(jnp.float8_e5m2): "f8e5m2",
     jnp.dtype(jnp.bfloat16): "bf16",
     jnp.dtype(jnp.float16): "f16",
     jnp.dtype(jnp.float32): "f32",
@@ -51,6 +64,11 @@ def canon(t) -> str:
             "fp32": "f32",
             "fp64": "f64",
             "df": "df64",
+            "float8_e4m3fn": "f8e4m3",
+            "float8_e4m3": "f8e4m3",
+            "float8_e5m2": "f8e5m2",
+            "f8": "f8e4m3",
+            "fp8": "f8e4m3",
         }
         name = aliases.get(name, name)
         if name not in _ORDER:
@@ -78,6 +96,18 @@ def jnp_dtype(name: str):
 
 def is_df(name) -> bool:
     return canon(name) == "df64"
+
+
+def check_arithmetic(name) -> str:
+    """Canonicalise an *arithmetic*-type spec, rejecting storage-only types
+    (the static_assert analogue, reference ``cuda/gemv_kernels.cuh:87``)."""
+    name = canon(name)
+    if name in STORAGE_ONLY:
+        raise ValueError(
+            f"{name} is a storage-only tier; pass it as the array dtype and "
+            "choose ar='bf16'/'f32'/'df64' (e.g. acc_dot(x8, y8, ar='f32'))"
+        )
+    return name
 
 
 def storage_bytes(st) -> int:

@@ -76,6 +76,11 @@ def parse_args(prog: str, default_size: int, min_size: int, extra=None):
     )
     p.add_argument("--randomizations", type=int, default=10,
                    help="error-mode re-randomizations for the median (reference: 10)")
+    p.add_argument("--no-align", dest="align", action="store_false", default=True,
+                   help="sweep arbitrary (non-lane-aligned) sizes — the kernels "
+                   "handle ragged shapes by masking; the reference's grids are "
+                   "arbitrary (step-100 / step-2e6) because CUDA bounds-checks "
+                   "per element")
     if extra:
         extra(p)
     args = p.parse_args()
@@ -88,6 +93,9 @@ def sweep_sizes(args, min_size: int, align: int, dense_step: int):
     """Size grid. All sizes are aligned to `align` (TPU lane/block physics —
     the CUDA reference sweeps arbitrary sizes because its kernels bounds-check
     per element; padding inside the timed region would distort bandwidth)."""
+
+    if not getattr(args, "align", True):
+        align = 1
 
     def al(v):
         return max(align, (v // align) * align)
@@ -104,6 +112,12 @@ def sweep_sizes(args, min_size: int, align: int, dense_step: int):
     if sizes and sizes[-1] != al(args.size):
         sizes.append(al(args.size))
     return sizes
+
+
+def progress(msg: str):
+    """Stderr progress line (the CSV protocol owns stdout); long TPU sweeps
+    buffer rows, so this is the live checkpoint signal."""
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
 def median(vals) -> float:

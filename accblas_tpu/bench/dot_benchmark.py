@@ -3,20 +3,33 @@
 
 Variants (CSV columns; reference set at ``cuda/dot_benchmark.cu:95-142``,
 remapped to the TPU dtype lattice — fp64 arithmetic → df64, fp32 storage
-under wider arithmetic → bf16 storage under f32, see SURVEY.md §7):
+under wider arithmetic → bf16 storage under f32 — and extended down-lattice
+with the f16 and stochastically-rounded f8e4m3 storage tiers):
 
-  DOT fp32            — fixed precision, hand-written Pallas
-  DOT bf16            — fixed precision (the cheap/inaccurate end)
-  DOT Acc<df64,f32>   — accessor, fp64-class arithmetic over f32 storage
-  DOT Acc<f32,bf16>   — accessor, f32 arithmetic over bf16 storage (headline)
-  DOT Acc<df64,bf16>  — accessor, widest gap
-  XLA DOT fp32/bf16   — vendor tier (cuBLAS analogue)
+  DOT fp32 / bf16               — fixed precision, hand-written Pallas
+  DOT Acc<df64,f32> [precise]   — accessor, fp64-class arithmetic over f32
+  DOT Acc<f32,bf16>             — accessor, f32 over bf16 (headline)
+  DOT Acc<df64,bf16>            — accessor, widest mainstream gap
+  DOT Acc<f32,f16>, <f32,f8e4m3> — narrow/8-bit storage tiers
+  XLA DOT fp32/bf16             — vendor tier (cuBLAS analogue)
+  DOT df64 oracle (device)      — error mode only: df64 over split-f64
+                                  storage (the cuBLAS-fp64 cross-check line,
+                                  reference ``cuda/utils.cuh:315-332``)
+
+Data: generated ON DEVICE from seed-42-keyed threefry streams with a
+host-replayed fp64 master (utils.devgen — threefry is bit-identical across
+CPU/TPU backends, so the oracle sees exactly the master the device rounds
+from). This replaces the reference's H→D copies, which through a remote-TPU
+tunnel would cost hours at the published endpoint (n≈5.4e8,
+``cuda/dot_benchmark.cu:26-27``).
 
 Timing: chained in-device loops, K-slope (utils.bench.benchmark_loop — the
-CUDA-event analogue). Error mode: median relative error over 10
-re-randomizations vs the numpy fp64 master-data dot (reference
-``cuda/dot_benchmark.cu:162-164,175,238-259``); seed 42, uniform(-1,1),
-subnormal-filtered. GFLOP/s = 2n / t.
+CUDA-event analogue); results buffered and emitted at the end, like the
+reference (``cuda/dot_benchmark.cu:177-189``). Error mode: each variant runs
+once through ``benchmark_function(..., skip=True)`` (the reference's error-
+mode execution path, ``cuda/utils.cuh:236-262``), then the median relative
+error over ``--randomizations`` re-draws vs the numpy fp64 master dot
+(``cuda/dot_benchmark.cu:162-164,175,238-259``). GFLOP/s = 2n / t.
 """
 
 from __future__ import annotations
@@ -24,93 +37,75 @@ from __future__ import annotations
 import numpy as np
 
 from . import common
-from ..utils import MatrixInfo, gen_mtx
-from ..utils.bench import benchmark_loop
+from ..utils.bench import benchmark_function, benchmark_loop
 
 MIN_SIZE = 2**20
 DEFAULT_SIZE = 2**27
 ALIGN = 2**13
 
+# (column name, storage family, kind, acc_dot kwargs)
+VARIANTS = [
+    ("DOT fp32", "f32", "fixed", {}),
+    ("DOT bf16", "bf16", "fixed", {}),
+    ("DOT Acc<df64,f32>", "f32", "df", {}),
+    ("DOT Acc<df64,f32> precise", "f32", "df", {"precise": True}),
+    ("DOT Acc<f32,bf16>", "bf16", "acc32", {}),
+    ("DOT Acc<df64,bf16>", "bf16", "df", {}),
+    ("DOT Acc<f32,f16>", "f16", "acc32", {}),
+    ("DOT Acc<f32,f8e4m3>", "f8", "acc32", {}),
+    ("XLA DOT fp32", "f32", "xla", {}),
+    ("XLA DOT bf16", "bf16", "xla", {}),
+    ("DOT df64 oracle (device)", "oracle", "oracle", {}),  # error mode only
+]
 
-def _variants(jnp, dotops, dfm):
-    """name -> (timing body builder, error fn builder).
 
-    Body builders take (x32, y32, xb, yb) device arrays and return
-    (body, carry0); error builders return a float vs-oracle error fn."""
+def _family_arrays(family: str, x32, y32, seed: int, r: int):
+    """Derive one storage family's device operands from the f32 copies."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils import devgen
+    from ..utils.sr import sr_round_device_chunked
+
+    if family == "f32":
+        return x32, y32
+    if family == "bf16":
+        return x32.astype(jnp.bfloat16), y32.astype(jnp.bfloat16)
+    if family == "f16":
+        return x32.astype(jnp.float16), y32.astype(jnp.float16)
+    if family == "f8":
+        k = devgen._key(seed, "sr", r)
+        kx, ky = jax.random.split(k)
+        return (
+            sr_round_device_chunked(x32, "f8e4m3", kx),
+            sr_round_device_chunked(y32, "f8e4m3", ky),
+        )
+    raise ValueError(family)
+
+
+def _timing_body(kind: str, kw: dict, jnp, dotops):
+    """body(c, x, y) consuming the carry through the kernel's init/operand
+    (arrays ride as loop args, never closures — closures bake multi-GB
+    constants into the executable)."""
 
     def chain(c):
         return c.astype(jnp.float32) * 1e-30
 
-    # timing bodies: body(c, x32, y32, xb, yb) — arrays ride as loop args,
-    # never as closures (closures bake multi-GB constants into the executable)
-    def v_fixed_f32(c, x32, y32, xb, yb):
-        return dotops.dot(x32, y32, init=chain(c))
+    if kind == "fixed":
+        return lambda c, x, y: dotops.dot(x, y, init=chain(c)).astype(jnp.float32)
+    if kind == "df":
+        return lambda c, x, y: dotops.acc_dot(x, y, ar="df64", init=chain(c), **kw).hi
+    if kind == "acc32":
+        return lambda c, x, y: dotops.acc_dot(x, y, ar="f32", init=chain(c))
 
-    def v_fixed_bf16(c, x32, y32, xb, yb):
-        return dotops.dot(xb, yb, init=chain(c)).astype(jnp.float32)
-
-    def v_acc_df_f32(c, x32, y32, xb, yb):
-        return dotops.acc_dot(x32, y32, ar="df64", init=chain(c)).hi
-
-    def v_acc_f32_bf16(c, x32, y32, xb, yb):
-        return dotops.acc_dot(xb, yb, ar="f32", init=chain(c))
-
-    def v_acc_df_bf16(c, x32, y32, xb, yb):
-        return dotops.acc_dot(xb, yb, ar="df64", init=chain(c)).hi
-
-    # XLA-tier chaining: jnp.dot has no seed input, so the carry perturbs one
-    # element of a *carried* copy of y (O(1): while-loop carries alias in
-    # place). optimization_barrier tuples proved unable to pin loop-invariant
-    # work on this toolchain.
-    def v_xla_f32(c, x32, y32, xb, yb):
-        s, yc = c
-        yc = yc.at[0].add(s * 1e-42)
-        return jnp.dot(x32, yc), yc
-
-    def v_xla_bf16(c, x32, y32, xb, yb):
+    # XLA tier: jnp.dot has no seed input; the carry perturbs one element of
+    # a carried copy of y (O(1): while-loop carries alias in place)
+    def xla_body(c, x, y):
         s, yc = c
         yc = yc.at[0].add((s * 1e-30).astype(yc.dtype))
-        return jnp.dot(xb, yc).astype(jnp.float32), yc
+        return dotops.xla_dot(x, yc).astype(jnp.float32), yc
 
-    def e_fixed_f32(x32, y32, xb, yb):
-        return lambda: float(dotops.dot(x32, y32))
-
-    def e_fixed_bf16(x32, y32, xb, yb):
-        return lambda: float(dotops.dot(xb, yb).astype(jnp.float32))
-
-    def e_acc_df_f32(x32, y32, xb, yb):
-        return lambda: float(dfm.df_to_f64(dotops.acc_dot(x32, y32, ar="df64")))
-
-    def e_acc_f32_bf16(x32, y32, xb, yb):
-        return lambda: float(dotops.acc_dot(xb, yb, ar="f32"))
-
-    def e_acc_df_bf16(x32, y32, xb, yb):
-        return lambda: float(dfm.df_to_f64(dotops.acc_dot(xb, yb, ar="df64")))
-
-    def e_xla_f32(x32, y32, xb, yb):
-        return lambda: float(jnp.dot(x32, y32))
-
-    def e_xla_bf16(x32, y32, xb, yb):
-        return lambda: float(jnp.dot(xb, yb).astype(jnp.float32))
-
-    def c_scalar(arrays):
-        return jnp.float32(0.0)
-
-    def c_with_y32(arrays):
-        return (jnp.float32(0.0), arrays[1])
-
-    def c_with_ybf(arrays):
-        return (jnp.float32(0.0), arrays[3])
-
-    return [
-        ("DOT fp32", v_fixed_f32, c_scalar, e_fixed_f32),
-        ("DOT bf16", v_fixed_bf16, c_scalar, e_fixed_bf16),
-        ("DOT Acc<df64,f32>", v_acc_df_f32, c_scalar, e_acc_df_f32),
-        ("DOT Acc<f32,bf16>", v_acc_f32_bf16, c_scalar, e_acc_f32_bf16),
-        ("DOT Acc<df64,bf16>", v_acc_df_bf16, c_scalar, e_acc_df_bf16),
-        ("XLA DOT fp32", v_xla_f32, c_with_y32, e_xla_f32),
-        ("XLA DOT bf16", v_xla_bf16, c_with_ybf, e_xla_bf16),
-    ]
+    return xla_body
 
 
 def main():
@@ -119,48 +114,117 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ..ops import dot as dotops
     from ..ops import df64 as dfm
+    from ..ops import dot as dotops
+    from ..ops import oracle
+    from ..utils import devgen
 
+    seed = 42
     sizes = common.sweep_sizes(args, MIN_SIZE, ALIGN, dense_step=2 * 10**6)
-    variants = _variants(jnp, dotops, dfm)
+    max_n = max(sizes)
+    variants = [v for v in VARIANTS if args.error or v[2] != "oracle"]
     names = [v[0] for v in variants]
+    results = {n: {} for n in sizes}  # buffered, printed at the end
+
+    if args.error:
+        errs = {n: {nm: [] for nm in names} for n in sizes}
+        for r in range(args.randomizations):
+            # fresh master draw per randomization (the write_random +
+            # convert_from rerun, cuda/dot_benchmark.cu:195-200) — device and
+            # host replay the same threefry stream
+            x32 = devgen.gen_f32((max_n,), seed, "dot_x", r)
+            y32 = devgen.gen_f32((max_n,), seed, "dot_y", r)
+            x64 = devgen.master_f64((max_n,), seed, "dot_x", r)
+            y64 = devgen.master_f64((max_n,), seed, "dot_y", r)
+            refs = {n: float(x64[:n] @ y64[:n]) for n in sizes}
+            del x64, y64
+
+            fams = sorted({v[1] for v in variants} - {"oracle"})
+            for fam in fams:
+                xf, yf = _family_arrays(fam, x32, y32, seed, r)
+                for nm, f, kind, kw in variants:
+                    if f != fam or kind == "oracle":
+                        continue
+                    for n in sizes:
+                        def run(n=n, kind=kind, kw=kw):
+                            xs, ys = _lead(xf, n), _lead(yf, n)
+                            if kind == "fixed":
+                                return dotops.dot(xs, ys)
+                            if kind == "df":
+                                return dotops.acc_dot(xs, ys, ar="df64", **kw)
+                            if kind == "acc32":
+                                return dotops.acc_dot(xs, ys, ar="f32")
+                            return dotops.xla_dot(xs, ys)
+                        out = _run_error(run)
+                        got = float(dfm.df_to_f64(out)) if kind == "df" else float(
+                            jnp.asarray(out, jnp.float32)
+                        )
+                        errs[n][nm].append(abs(got - refs[n]) / abs(refs[n]))
+                    common.progress(f"r={r} {nm} done")
+                if fam != "f32":
+                    del xf, yf
+            if any(v[1] == "oracle" for v in variants):
+                # split-f64 oracle operands replace the f32 copies (hi IS the
+                # f32 copy bit-for-bit) — free them first, the splits plus
+                # per-size slices are the HBM high-water mark at n=2^29
+                del x32, y32
+                xh, xl = devgen.split_df64(None, (max_n,), seed, "dot_x", r)
+                yh, yl = devgen.split_df64(None, (max_n,), seed, "dot_y", r)
+                onm = next(v[0] for v in variants if v[1] == "oracle")
+                for n in sizes:
+                    def run(n=n):
+                        return oracle.dot_df64(
+                            _lead(xh, n), _lead(xl, n), _lead(yh, n), _lead(yl, n)
+                        )
+                    got = float(dfm.df_to_f64(_run_error(run)))
+                    errs[n][onm].append(abs(got - refs[n]) / abs(refs[n]))
+                del xh, xl, yh, yl
+        for n in sizes:
+            results[n] = {nm: common.median(errs[n][nm]) for nm in names}
+    else:
+        x32 = devgen.gen_f32((max_n,), seed, "dot_x", 0)
+        y32 = devgen.gen_f32((max_n,), seed, "dot_y", 0)
+        fams = sorted({v[1] for v in variants})
+        for fam in fams:
+            xf, yf = _family_arrays(fam, x32, y32, seed, 0)
+            for nm, f, kind, kw in variants:
+                if f != fam:
+                    continue
+                body = _timing_body(kind, kw, jnp, dotops)
+                for n in sizes:
+                    xs, ys = _lead(xf, n), _lead(yf, n)
+                    c0 = (
+                        (jnp.float32(0.0), ys) if kind == "xla" else jnp.float32(0.0)
+                    )
+                    ms = benchmark_loop(body, c0, args=(xs, ys))
+                    results[n][nm] = 2.0 * n / (ms * 1e-3) / 1e9
+                    common.progress(f"{nm} n={n}: {results[n][nm]:.1f} GFLOP/s")
+            if fam != "f32":
+                del xf, yf
+
     common.emit_header("n", names)
-
-    x64 = gen_mtx(MatrixInfo(1, max(sizes)), seed=42)[0]
-    y64 = gen_mtx(MatrixInfo(1, max(sizes)), seed=43)[0]
-    x32_full = jax.device_put(x64.astype(np.float32))
-    y32_full = jax.device_put(y64.astype(np.float32))
-    xb_full = x32_full.astype(jnp.bfloat16)
-    yb_full = y32_full.astype(jnp.bfloat16)
-
     for n in sizes:
-        arrays = (x32_full[:n], y32_full[:n], xb_full[:n], yb_full[:n])
-        if args.error:
-            errs = {nm: [] for nm in names}
-            for r in range(args.randomizations):
-                if r == 0:
-                    xr64, yr64 = x64[:n], y64[:n]
-                    arrs = arrays
-                else:
-                    # re-randomize (reference write_random + convert_from,
-                    # cuda/dot_benchmark.cu:195-200)
-                    xr64 = gen_mtx(MatrixInfo(1, n), seed=1000 + r)[0]
-                    yr64 = gen_mtx(MatrixInfo(1, n), seed=2000 + r)[0]
-                    x32 = jax.device_put(xr64.astype(np.float32))
-                    y32 = jax.device_put(yr64.astype(np.float32))
-                    arrs = (x32, y32, x32.astype(jnp.bfloat16), y32.astype(jnp.bfloat16))
-                ref = xr64 @ yr64
-                for nm, _, _, e_build in variants:
-                    got = e_build(*arrs)()
-                    errs[nm].append(abs(got - ref) / abs(ref))
-            common.emit_row(n, [common.median(errs[nm]) for nm in names])
-        else:
-            vals = []
-            for nm, v_body, make_c0, _ in variants:
-                ms = benchmark_loop(v_body, make_c0(arrays), args=arrays)
-                vals.append(2.0 * n / (ms * 1e-3) / 1e9)
-            common.emit_row(n, vals)
+        common.emit_row(n, [results[n][nm] for nm in names])
+
+
+def _lead(a, n: int):
+    """Leading view, identity at full length (a[:n] at n == len dispatches a
+    device copy — a multi-GiB duplicate at the 2^29 endpoint)."""
+    return a if a.shape[0] == n else a[:n]
+
+
+def _run_error(fn):
+    """Execute a benchmark entry once through the reference's measurement
+    protocol with skip=True (``cuda/utils.cuh:236-262`` — error mode runs the
+    kernel exactly once, synchronized, untimed) and hand back its result."""
+    box = {}
+
+    def call():
+        box["v"] = fn()
+        return box["v"]
+
+    benchmark_function(call, skip=True)
+    return box["v"]
 
 
 if __name__ == "__main__":

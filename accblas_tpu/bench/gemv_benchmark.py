@@ -1,12 +1,21 @@
 """GEMV benchmark driver — the ``gemv_benchmark`` executable analogue
 (reference ``cuda/gemv_benchmark.cu``).
 
-Square sweep over submatrix views of one max_size allocation (the reference's
+Square sweep over leading views of one max_size allocation (the reference's
 stride trick, ``cuda/gemv_benchmark.cu:211-215``); alpha = beta = 1
 (``cuda/gemv_benchmark.cu:25-28``); flops mode reports GFLOP/s (2·n²), error
 mode the 1-norm relative error vs the numpy fp64 oracle on master data
-(``cuda/gemv_benchmark.cu:219-231``), with the result buffer re-zeroed between
-runs because beta != 0 (``cuda/gemv_benchmark.cu:76,108-111``).
+(``cuda/gemv_benchmark.cu:219-231``) — each variant executed once through
+``benchmark_function(..., skip=True)`` (the reference's error-mode protocol,
+``cuda/utils.cuh:236-262``).
+
+Data is generated on device with a host-replayed fp64 master (utils.devgen;
+see dot_benchmark's docstring — the 24500² published endpoint is a 2.4 GiB
+operand, hours through the tunnel as a copy, milliseconds as a replay).
+Columns extend the reference's set (``cuda/gemv_benchmark.cu:134-193``) with
+f16 and stochastically-rounded f8e4m3 storage tiers, a precise df64 variant,
+and — error mode only — the df64-over-split-f64 device oracle (the cuBLAS
+fp64 cross-check line, ``cuda/utils.cuh:315-332``).
 """
 
 from __future__ import annotations
@@ -14,14 +23,53 @@ from __future__ import annotations
 import numpy as np
 
 from . import common
-from ..utils import MatrixInfo, gen_mtx
-from ..utils.bench import benchmark_loop
-from ..utils.compare import relative_error
+from ..utils.bench import benchmark_function, benchmark_loop
 
 MIN_SIZE = 1024
 DEFAULT_SIZE = 16384
 ALIGN = 1024
 ALPHA, BETA = 1.0, 1.0
+
+VARIANTS = [
+    ("GEMV fp32", "f32", "fixed", {}),
+    ("GEMV bf16", "bf16", "fixed", {}),
+    ("GEMV Acc<df64,f32>", "f32", "df", {}),
+    ("GEMV Acc<df64,f32> precise", "f32", "df", {"precise": True}),
+    ("GEMV Acc<f32,bf16>", "bf16", "acc32", {}),
+    ("GEMV Acc<df64,bf16>", "bf16", "df", {}),
+    ("GEMV Acc<f32,f16>", "f16", "acc32", {}),
+    ("GEMV Acc<f32,f8e4m3>", "f8", "acc32", {}),
+    ("XLA GEMV fp32", "f32", "xla", {}),
+    ("XLA GEMV bf16", "bf16", "xla", {}),
+    ("GEMV df64 oracle (device)", "oracle", "oracle", {}),  # error mode only
+]
+
+
+def _lead2(a, n: int):
+    if a.ndim == 2:
+        return a if a.shape == (n, n) else a[:n, :n]
+    return a if a.shape[0] == n else a[:n]
+
+
+def _family_arrays(fam: str, a32, x32, seed: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils import devgen
+    from ..utils.sr import sr_round_device_chunked
+
+    if fam == "f32":
+        return a32, x32
+    if fam in ("bf16", "f16"):
+        dt = jnp.bfloat16 if fam == "bf16" else jnp.float16
+        return a32.astype(dt), x32.astype(dt)
+    if fam == "f8":
+        k = devgen._key(seed, "sr", 0)
+        ka, kx = jax.random.split(k)
+        m, n = a32.shape
+        a8 = sr_round_device_chunked(a32.reshape(-1), "f8e4m3", ka).reshape(m, n)
+        return a8, sr_round_device_chunked(x32, "f8e4m3", kx)
+    raise ValueError(fam)
 
 
 def main():
@@ -30,85 +78,125 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ..ops import df64 as dfm
     from ..ops import gemv as gemvops
+    from ..ops import oracle
+    from ..utils import devgen
+    from ..utils.compare import relative_error
 
+    seed = 42
     sizes = common.sweep_sizes(args, MIN_SIZE, ALIGN, dense_step=ALIGN)
     max_n = max(sizes)
-
-    a64 = gen_mtx(MatrixInfo(max_n, max_n), seed=42)
-    x64 = gen_mtx(MatrixInfo(1, max_n), seed=43)[0]
-    r64 = gen_mtx(MatrixInfo(1, max_n), seed=44)[0]
-    a32_full = jax.device_put(a64.astype(np.float32))
-    x32_full = jax.device_put(x64.astype(np.float32))
-    r32_full = jax.device_put(r64.astype(np.float32))
-    ab_full = a32_full.astype(jnp.bfloat16)
-    xb_full = x32_full.astype(jnp.bfloat16)
-
-    run_f32 = jax.jit(lambda a, x, r: gemvops.gemv(a, x, r, ALPHA, BETA))
-    run_bf16 = jax.jit(lambda a, x, r: gemvops.gemv(a, x, r, ALPHA, BETA))
-    run_acc_df = jax.jit(
-        lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="df64")
-    )
-    run_acc_f32b = jax.jit(lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="f32"))
-    run_acc_dfb = jax.jit(
-        lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="df64")
-    )
-    run_xla_f32 = jax.jit(lambda a, x, r: gemvops.xla_gemv(a, x, r, ALPHA, BETA))
-    run_xla_bf16 = jax.jit(lambda a, x, r: gemvops.xla_gemv(a, x, r, ALPHA, BETA))
-
-    names = [
-        "GEMV fp32",
-        "GEMV bf16",
-        "GEMV Acc<df64,f32>",
-        "GEMV Acc<f32,bf16>",
-        "GEMV Acc<df64,bf16>",
-        "XLA GEMV fp32",
-        "XLA GEMV bf16",
-    ]
+    variants = [v for v in VARIANTS if args.error or v[2] != "oracle"]
+    names = [v[0] for v in variants]
     common.emit_header("rows", names)
 
-    for n in sizes:
-        a32 = a32_full[:n, :n]
-        x32 = x32_full[:n]
-        r32 = r32_full[:n]
-        ab = ab_full[:n, :n]
-        xb = xb_full[:n]
-        rbf = r32  # res stays f32 even for bf16 storage inputs (wider result)
+    a32 = devgen.gen_f32((max_n, max_n), seed, "gemv_a")
+    x32 = devgen.gen_f32((max_n,), seed, "gemv_x")
+    r32 = devgen.gen_f32((max_n,), seed, "gemv_res")
 
-        entries = [
-            (run_f32, (a32, x32, r32), False),
-            (run_bf16, (ab, xb, r32.astype(jnp.bfloat16)), False),
-            (run_acc_df, (a32, x32, r32), False),
-            (run_acc_f32b, (ab, xb, rbf), False),
-            (run_acc_dfb, (ab, xb, rbf), False),
-            (run_xla_f32, (a32, x32, r32), True),
-            (run_xla_bf16, (ab, xb, rbf), True),
-        ]
+    if args.error:
+        a64 = devgen.master_f64((max_n, max_n), seed, "gemv_a")
+        x64 = devgen.master_f64((max_n,), seed, "gemv_x")
+        r64 = devgen.master_f64((max_n,), seed, "gemv_res")
+        results = {n: {} for n in sizes}
+        fams = sorted({v[1] for v in variants} - {"oracle"})
+        for fam in fams:
+            af, xf = _family_arrays(fam, a32, x32, seed)
+            for nm, f, kind, kw in variants:
+                if f != fam:
+                    continue
+                for n in sizes:
+                    ref = ALPHA * (a64[:n, :n] @ x64[:n]) + BETA * r64[:n]
+                    def run(n=n, kind=kind, kw=kw, af=af, xf=xf):
+                        a_, x_, r_ = _lead2(af, n), _lead2(xf, n), _lead2(r32, n)
+                        if kind == "fixed":
+                            return gemvops.gemv(a_, x_, r_.astype(a_.dtype)
+                                                if fam == "bf16" else r_, ALPHA, BETA)
+                        if kind == "df":
+                            return gemvops.acc_gemv(a_, x_, r_, ALPHA, BETA, ar="df64", **kw)
+                        if kind == "acc32":
+                            return gemvops.acc_gemv(a_, x_, r_, ALPHA, BETA, ar="f32")
+                        return gemvops.xla_gemv(a_, x_, r_, ALPHA, BETA)
+                    out = _run_error(run)
+                    results[n][nm] = relative_error(
+                        np.asarray(out.astype(jnp.float32), np.float64), ref
+                    )
+            if fam != "f32":
+                del af, xf
+        if any(v[1] == "oracle" for v in variants):
+            onm = next(v[0] for v in variants if v[1] == "oracle")
+            del a32  # the split is the high-water mark; hi IS the f32 copy
+            ah, al = devgen.split_df64(None, (max_n, max_n), seed, "gemv_a")
+            xh, xl = devgen.split_df64(None, (max_n,), seed, "gemv_x")
+            rh, rl = devgen.split_df64(None, (max_n,), seed, "gemv_res")
+            for n in sizes:
+                ref = ALPHA * (a64[:n, :n] @ x64[:n]) + BETA * r64[:n]
+                def run(n=n):
+                    ax = oracle.gemv_df64(
+                        _lead2(ah, n), _lead2(al, n), _lead2(xh, n), _lead2(xl, n)
+                    )
+                    out = dfm.df_add(
+                        dfm.df_mul_f32(ax, jnp.float32(ALPHA)),
+                        dfm.df_mul_f32(dfm.DF(_lead2(rh, n), _lead2(rl, n)),
+                                       jnp.float32(BETA)),
+                    )
+                    return out
+                out = _run_error(run)
+                got = np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64)
+                results[n][onm] = relative_error(got, ref)
+        for n in sizes:
+            common.emit_row(n, [results[n][nm] for nm in names])
+        return
 
-        if args.error:
-            ref = ALPHA * (a64[:n, :n] @ x64[:n]) + BETA * r64[:n]
-            vals = [
-                relative_error(np.asarray(fn(*ops_).astype(jnp.float32)), ref)
-                for fn, ops_, _ in entries
-            ]
-        else:
-            # chained loop timing: res is the carry. For the Pallas tiers the
-            # kernel consumes res; the XLA tier's matvec ignores res values,
-            # so its x operand additionally gets a one-element carry
-            # perturbation (an n-sized copy per iteration — negligible
-            # against the n^2 matrix stream) to prevent hoisting.
-            vals = []
-            for fn, ops_, is_xla in entries:
-                a_, x_, r_ = ops_
-                if is_xla:
-                    def body(c, a_, x_, fn=fn):
+    # flops mode: chained loop timing, res as the carry; the XLA tier's
+    # matvec ignores res values, so its x operand additionally gets a
+    # one-element carry perturbation to prevent hoisting
+    results = {n: {} for n in sizes}
+    fams = sorted({v[1] for v in variants})
+    for fam in fams:
+        af, xf = _family_arrays(fam, a32, x32, seed)
+        for nm, f, kind, kw in variants:
+            if f != fam:
+                continue
+            for n in sizes:
+                a_, x_ = _lead2(af, n), _lead2(xf, n)
+                r_ = _lead2(r32, n)
+                if kind == "fixed" and fam == "bf16":
+                    r_ = r_.astype(jnp.bfloat16)
+                if kind == "xla":
+                    def body(c, a_, x_, kind=kind):
                         xc = x_.at[0].add((c[0] * 1e-30).astype(x_.dtype))
-                        return fn(a_, xc, c)
+                        return gemvops.xla_gemv(a_, xc, c, ALPHA, BETA)
+                elif kind == "fixed":
+                    def body(c, a_, x_):
+                        return gemvops.gemv(a_, x_, c, ALPHA, BETA)
+                elif kind == "df":
+                    def body(c, a_, x_, kw=kw):
+                        return gemvops.acc_gemv(a_, x_, c, ALPHA, BETA, ar="df64", **kw)
                 else:
-                    body = lambda c, a_, x_, fn=fn: fn(a_, x_, c)
+                    def body(c, a_, x_):
+                        return gemvops.acc_gemv(a_, x_, c, ALPHA, BETA, ar="f32")
                 ms = benchmark_loop(body, r_, args=(a_, x_))
-                vals.append(2.0 * n * n / (ms * 1e-3) / 1e9)
-        common.emit_row(n, vals)
+                results[n][nm] = 2.0 * n * n / (ms * 1e-3) / 1e9
+                common.progress(f"{nm} n={n}: {results[n][nm]:.1f} GFLOP/s")
+        if fam != "f32":
+            del af, xf
+    for n in sizes:
+        common.emit_row(n, [results[n][nm] for nm in names])
+
+
+def _run_error(fn):
+    """One protocol-conformant untimed run (benchmark_function skip=True,
+    reference ``cuda/utils.cuh:236-262``)."""
+    box = {}
+
+    def call():
+        box["v"] = fn()
+        return box["v"]
+
+    benchmark_function(call, skip=True)
+    return box["v"]
 
 
 if __name__ == "__main__":

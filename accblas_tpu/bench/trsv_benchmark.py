@@ -1,4 +1,4 @@
-"""TRSV benchmark driver — the ``trsv_benchmark`` executable analogue
+"""TRSV/TRSM benchmark driver — the ``trsv_benchmark`` executable analogue
 (reference ``cuda/trsv_benchmark.cu``).
 
 The master matrix is LU-factorized once at max size in fp64 on the host
@@ -7,22 +7,71 @@ The master matrix is LU-factorized once at max size in fp64 on the host
 the sweep solves on leading submatrix views. Upper triangle, unit diagonal —
 the reference's hardcoded benchmark mode (``cuda/trsv_benchmark.cu:26-27``).
 FLOP count n² (the triangle's 2·(n²/2) multiply-adds); error mode is the
-1-norm relative error vs a scipy fp64 solve of the same triangle.
+1-norm relative error vs a scipy fp64 solve of the same triangle, each
+variant executed once via ``benchmark_function(..., skip=True)``
+(``cuda/utils.cuh:236-262``), plus the df64-refinement device oracle column
+(the cuBLAS fp64 cross-check analogue, ``cuda/utils.cuh:315-332``).
+
+``--nrhs K`` switches to TRSM columns (T X = B with B of shape (n, K)) — the
+multi-RHS generalization the reference lacks; FLOP count n²·K.
+
+Unlike DOT/GEMV this driver keeps host generation + H→D transfer: the LU
+factorization happens on the host, so the factored values cannot be replayed
+from a PRNG stream on device.
 """
 
 from __future__ import annotations
+
+import sys
 
 import numpy as np
 
 from . import common
 from ..utils import MatrixInfo, gen_mtx
-from ..utils.bench import benchmark_loop
+from ..utils.bench import benchmark_function, benchmark_loop
 from ..utils.compare import relative_error
 
 MIN_SIZE = 1024
 DEFAULT_SIZE = 16384
 ALIGN = 1024
 UPLO, UNIT = "upper", True  # reference: tmtx_t::upper, dmtx_t::unit
+
+
+def _lu_cached(max_n: int, seed: int, scipy):
+    """LU-factorized master matrix, disk-cached: getrf at the 24576 endpoint
+    costs ~an hour on this host's single core, and the flops and error
+    invocations of the driver need the identical factor (the reference
+    factorizes once per process, ``cuda/trsv_memory.cuh:150-163``; caching
+    across processes is the moral equivalent for a sweep campaign)."""
+    import os
+
+    cache_dir = os.environ.get(
+        "ACCBLAS_CACHE", os.path.expanduser("~/.cache/accblas_jit")
+    )
+    path = os.path.join(cache_dir, f"lu64_seed{seed}_n{max_n}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    a64 = gen_mtx(MatrixInfo(max_n, max_n), seed=seed)
+    lu64, _ = scipy.linalg.lu_factor(a64)
+    del a64
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(path, lu64)
+    except OSError:
+        pass
+    return lu64
+
+
+def _run_error(fn):
+    """One protocol-conformant untimed run (benchmark_function skip=True)."""
+    box = {}
+
+    def call():
+        box["v"] = fn()
+        return box["v"]
+
+    benchmark_function(call, skip=True)
+    return box["v"]
 
 
 def main():
@@ -32,40 +81,64 @@ def main():
                        help="non-unit diagonal (the reference hardcodes unit; "
                        "unit-upper on an LU factor is exponentially ill-conditioned, "
                        "so error studies should pass --no-unit)")
+        p.add_argument("--nrhs", type=int, default=0,
+                       help="benchmark TRSM with this many right-hand sides "
+                       "(0 = TRSV)")
 
     args = common.parse_args("trsv_benchmark", DEFAULT_SIZE, MIN_SIZE, extra=extra)
-    uplo, unit = args.uplo, args.unit
+    uplo, unit, nrhs = args.uplo, args.unit, args.nrhs
     common.enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import scipy.linalg
 
+    from ..ops import oracle
     from ..ops import trsv as trsvops
 
     sizes = common.sweep_sizes(args, MIN_SIZE, ALIGN, dense_step=ALIGN)
     max_n = max(sizes)
 
-    a64 = gen_mtx(MatrixInfo(max_n, max_n), seed=42)
-    lu64, _ = scipy.linalg.lu_factor(a64)
-    b64 = gen_mtx(MatrixInfo(1, max_n), seed=43)[0]
+    lu64 = _lu_cached(max_n, 42, scipy)
+    b64 = gen_mtx(MatrixInfo(max_n, nrhs) if nrhs else MatrixInfo(1, max_n), seed=43)
+    if not nrhs:
+        b64 = b64[0]
     a32_full = jax.device_put(lu64.astype(np.float32))
     b32_full = jax.device_put(b64.astype(np.float32))
     ab_full = a32_full.astype(jnp.bfloat16)
 
-    run_f32 = jax.jit(lambda a, b: trsvops.trsv(a, b, uplo, unit))
-    run_acc_f32 = jax.jit(lambda a, b: trsvops.acc_trsv(a, b, uplo, unit, ar="f32"))
-    run_acc_f32b = jax.jit(lambda a, b: trsvops.acc_trsv(a, b, uplo, unit, ar="f32"))
-    run_acc_df = jax.jit(lambda a, b: trsvops.acc_trsv(a, b, uplo, unit, ar="df64"))
-    run_xla = jax.jit(lambda a, b: trsvops.xla_trsv(a, b, uplo, unit))
+    op = "TRSM" if nrhs else "TRSV"
+    solve = trsvops.trsm if nrhs else trsvops.trsv
+    acc_solve = trsvops.acc_trsm if nrhs else trsvops.acc_trsv
+    xla_solve = trsvops.xla_trsm if nrhs else trsvops.xla_trsv
+    flops_per_n = (lambda n: n * n * nrhs) if nrhs else (lambda n: n * n)
+
+    run_f32 = jax.jit(lambda a, b: solve(a, b, uplo, unit))
+    run_acc_f32 = jax.jit(lambda a, b: acc_solve(a, b, uplo, unit, ar="f32"))
+    run_acc_f32b = jax.jit(lambda a, b: acc_solve(a, b, uplo, unit, ar="f32"))
+    run_acc_df = jax.jit(lambda a, b: acc_solve(a, b, uplo, unit, ar="df64"))
+    run_xla = jax.jit(lambda a, b: xla_solve(a, b, uplo, unit))
 
     names = [
-        "TRSV fp32",
-        "TRSV Acc<f32,f32>",
-        "TRSV Acc<f32,bf16>",
-        "TRSV Acc<df64,f32>",
-        "XLA TRSV fp32",
+        f"{op} fp32",
+        f"{op} Acc<f32,f32>",
+        f"{op} Acc<f32,bf16>",
+        f"{op} Acc<df64,f32>",
+        f"XLA {op} fp32",
     ]
+    if args.error and not nrhs:
+        names.append(f"{op} df64 oracle (device)")
     common.emit_header("n", names)
+
+    if args.error and not nrhs:
+        # split of the solved triangle itself (masked, unit diag materialized)
+        # for the refinement oracle — see ops.oracle.trsv_df64
+        t64 = np.triu(lu64[:max_n, :max_n]) if uplo == "upper" else np.tril(lu64)
+        if unit:
+            np.fill_diagonal(t64, 1.0)
+        th_full = jax.device_put(t64.astype(np.float32))
+        tl_full = jax.device_put((t64 - np.asarray(th_full, np.float64)).astype(np.float32))
+        bh_full = b32_full
+        bl_full = jax.device_put((b64 - np.asarray(b32_full, np.float64)).astype(np.float32))
 
     for n in sizes:
         a32 = a32_full[:n, :n]
@@ -84,11 +157,23 @@ def main():
             t = np.triu(lu64[:n, :n]) if uplo == "upper" else np.tril(lu64[:n, :n])
             if unit:
                 np.fill_diagonal(t, 1.0)
-            ref = scipy.linalg.solve_triangular(t, b64[:n], lower=(uplo == "lower"))
+            ref = scipy.linalg.solve_triangular(
+                t, b64[:n], lower=(uplo == "lower"), unit_diagonal=unit
+            )
             vals = [
-                relative_error(np.asarray(fn(*ops_), np.float64), ref)
+                relative_error(np.asarray(_run_error(lambda f=fn, o=ops_: f(*o)),
+                                          np.float64), ref)
                 for fn, ops_ in entries
             ]
+            if not nrhs:
+                x = _run_error(
+                    lambda: oracle.trsv_df64(
+                        th_full[:n, :n], tl_full[:n, :n], bh_full[:n], bl_full[:n],
+                        uplo, unit,
+                    )
+                )
+                got = np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)
+                vals.append(relative_error(got, ref))
         else:
             # chained loop timing: the previous solution (clipped, so repeated
             # ill-conditioned solves stay bounded) becomes the next rhs — a
@@ -102,8 +187,9 @@ def main():
                     return fn(a_, jnp.clip(c, -1.0, 1.0).astype(b_.dtype))
 
                 ms = benchmark_loop(body, b_, args=(a_, b_))
-                vals.append(n * n / (ms * 1e-3) / 1e9)  # GFLOP/s (n^2 flops)
+                vals.append(flops_per_n(n) / (ms * 1e-3) / 1e9)
         common.emit_row(n, vals)
+        print(f"# trsv n={n} done", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -19,7 +19,13 @@ def pow2_ceil(x: int) -> int:
     return p
 
 
-def as_rows128(v: jnp.ndarray) -> jnp.ndarray:
+def min_sublanes(dtype) -> int:
+    """Native sublane tile for a storage dtype: f32 (8,128), 16-bit (16,128),
+    8-bit (32,128)."""
+    return {4: 8, 2: 16, 1: 32}.get(jnp.dtype(dtype).itemsize, 8)
+
+
+def as_rows128(v: jnp.ndarray, min_rows: int | None = None) -> jnp.ndarray:
     """View a vector as (rows, 128) lanes, at least 8 rows (Mosaic requires
     block sublane dims of 8+ unless equal to the array dim).
 
@@ -29,7 +35,9 @@ def as_rows128(v: jnp.ndarray) -> jnp.ndarray:
     per-element bounds checks; on TPU the lane dimension is physical).
     """
     n = v.shape[0]
-    min_n = 8 * 128
+    if min_rows is None:
+        min_rows = min_sublanes(v.dtype)
+    min_n = min_rows * 128
     target = max(((n + 127) // 128) * 128, min_n)
     if target != n:
         v = jnp.concatenate([v, jnp.zeros(target - n, v.dtype)])

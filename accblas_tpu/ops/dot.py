@@ -36,14 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..accessor import dtypes
 from ..accessor.range import Range, ReducedRowMajor
 from . import df64 as dfm
-from .common import as_rows128, compiler_params, interpret_default, pow2_ceil
+from .common import as_rows128, compiler_params, interpret_default, min_sublanes, pow2_ceil
 
 # (rows, 128) per grid step; df64 keeps smaller blocks (compensated-fold
 # temporaries live in VMEM), plain tiers use larger ones (measured +2% at 2048)
 MAX_BLOCK_ROWS = 2048
 MAX_BLOCK_ROWS_DF64 = 2048  # bigger blocks measured +6% for precise mode
 DF_ROWS_ACC = 32  # Kahan chunk rows per chain
-DF_CHAINS = 2  # interleaved chains
+DF_CHAINS = 2  # interleaved chains (fast mode; measured best error at 2)
+DF_CHAINS_PRECISE = 4  # shorter exact-two_sum chains: 7.4e-13 vs 2.7e-12 at 2
 
 # below this many input bytes the operands fit VMEM and XLA keeps them
 # resident across repeated calls (e.g. a solver's iteration loop) — a Pallas
@@ -240,22 +241,28 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
     if interpret is None:
         interpret = interpret_default()
 
-    x2 = as_rows128(x)
-    y2 = as_rows128(y)
+    # mixed-storage inputs must agree on row geometry: pad both to the wider
+    # of the two native sublane tiles (8-bit storage tiles at (32, 128))
+    st_rows = max(min_sublanes(x.dtype), min_sublanes(y.dtype))
+    x2 = as_rows128(x, min_rows=st_rows)
+    y2 = as_rows128(y, min_rows=st_rows)
     rows = x2.shape[0]
     cap = MAX_BLOCK_ROWS_DF64 if ar == "df64" else MAX_BLOCK_ROWS
     # bf16 accumulators want the (16, 128) native tile; block_rows must not
     # drop below the accumulator sublane count (small-n bf16 inputs give
-    # rows=8 < sub=16 — ragged masking handles rows < block_rows)
+    # rows=8 < sub=16 — ragged masking handles rows < block_rows), nor below
+    # the storage tile (8-bit inputs need 32-row blocks)
     sub = 16 if ar == "bf16" else 8
-    block_rows = min(cap, pow2_ceil(max(rows, sub)))
+    block_rows = min(cap, pow2_ceil(max(rows, sub, st_rows)))
     n_steps = pl.cdiv(rows, block_rows)
 
     # df64 Kahan accumulator geometry: (rows_acc, 128) chunks over `chains`
     # interleaved chains (32-row chunks = 4 vregs per op keep the VPU
     # pipeline fed; 2 chains hide the serial dependency)
     rows_acc = min(DF_ROWS_ACC, block_rows)
-    chains = DF_CHAINS if block_rows >= DF_CHAINS * rows_acc else 1
+    chains = DF_CHAINS_PRECISE if precise else DF_CHAINS
+    while chains > 1 and block_rows < chains * rows_acc:
+        chains //= 2
     if ar == "df64":
         sub = rows_acc * chains
     acc_dt = jnp.float32 if ar == "df64" else dtypes.jnp_dtype(ar)
@@ -313,7 +320,7 @@ def dot(x, y, *, init=None, interpret=None, resident=None):
     `init` seeds the accumulator (default 0). `resident` selects the
     XLA-composed small-n mode (default: auto by size on TPU).
     """
-    ar = dtypes.canon(x.dtype)
+    ar = dtypes.check_arithmetic(x.dtype)  # f8 storage has no fixed tier
     hi, _ = _dot_call(x, y, ar, precise=False, interpret=interpret, init=init,
                       resident=resident)
     return hi.astype(dtypes.jnp_dtype(ar))
@@ -336,7 +343,7 @@ def acc_dot(
     scalar of the arithmetic dtype; `res_dtype` requests a final cast — the
     ``cast_result`` analogue (``cuda/dot_kernels.cuh:168-173``).
     """
-    ar = dtypes.canon(ar)
+    ar = dtypes.check_arithmetic(ar)
     hi, lo = _dot_call(x, y, ar, precise=precise, interpret=interpret, init=init,
                        resident=resident)
     if ar == "df64":

@@ -45,6 +45,37 @@ BN_MAX = 1024  # column-block
 RESIDENT_BYTES = 16 * 2**20
 
 
+_F8 = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+_NARROW = (jnp.bfloat16, jnp.float16)
+
+
+def _mxu_operands(av_raw, xv, ar: str):
+    """Pick MXU operand dtypes + precision for the cast-on-load contraction.
+
+    - same-dtype narrow (bf16/f16) pairs under f32 arithmetic: feed the MXU
+      raw — the systolic array upcasts exactly (zero extra ops).
+    - f8 storage under f32 arithmetic: upcast to bf16, which is EXACT for
+      both e4m3 (4-bit exp ⊂ 8, 3-bit mant ⊂ 7) and e5m2, then native-MXU
+      multiply — avoids the 3-pass HIGHEST f32 contraction entirely.
+    - f32 operands: HIGHEST (the TPU default truncates f32 dot operands to
+      bf16, which would falsify the f32 tier's label).
+
+    Returns (a, x, precision) where precision == "native" marks the raw-feed
+    case.
+    """
+    ar_dt = dtypes.jnp_dtype(ar)
+    if ar == "f32":
+        if av_raw.dtype == xv.dtype and av_raw.dtype in _NARROW:
+            return av_raw, xv, "native"
+        # f16 excluded here: f16 -> bf16 drops mantissa bits (10 > 7)
+        if av_raw.dtype in _F8 + (jnp.bfloat16,) and xv.dtype in _F8 + (jnp.bfloat16,):
+            return av_raw.astype(jnp.bfloat16), xv.astype(jnp.bfloat16), "native"
+    av = av_raw if av_raw.dtype == ar_dt else av_raw.astype(ar_dt)
+    xa = xv if xv.dtype == ar_dt else xv.astype(ar_dt)
+    prec = jax.lax.Precision.HIGHEST if ar_dt == jnp.float32 else None
+    return av, xa, prec
+
+
 def _gemv_small(a, x, res, alpha, beta, ar: str, precise: bool, st_out: str):
     """XLA-composed small GEMV with identical tier semantics."""
     m, n = a.shape
@@ -79,16 +110,12 @@ def _gemv_small(a, x, res, alpha, beta, ar: str, precise: bool, st_out: str):
         out = dfm.df_add(dfm.df_mul_f32(tot, jnp.float32(alpha)), dfm.df_from(rv))
         return dfm.df_to_f32(out).astype(dtypes.jnp_dtype(st_out))
     ar_dt = dtypes.jnp_dtype(ar)
-    narrow_native = (
-        a.dtype == x.dtype and a.dtype in (jnp.bfloat16, jnp.float16) and ar == "f32"
-    )
-    if narrow_native:
-        val = jnp.matmul(a, x, preferred_element_type=jnp.float32)
+    av, xa, prec = _mxu_operands(a, x, ar)
+    if prec == "native":
+        val = jnp.matmul(av, xa, preferred_element_type=jnp.float32)
     else:
-        prec = jax.lax.Precision.HIGHEST if ar_dt == jnp.float32 else None
         val = jnp.matmul(
-            a.astype(ar_dt), x.astype(ar_dt), precision=prec,
-            preferred_element_type=jnp.float32,
+            av, xa, precision=prec, preferred_element_type=jnp.float32
         ).astype(ar_dt)
     out = val.astype(jnp.float32) * jnp.float32(alpha) + rv
     return out.astype(dtypes.jnp_dtype(ar)).astype(dtypes.jnp_dtype(st_out))
@@ -157,20 +184,9 @@ def _gemv_kernel(
         # exactly into ar-typed accumulation (zero extra ops, measured
         # 87% of HBM roofline); f32 operands need HIGHEST because the
         # TPU default truncates f32 dot operands to bf16.
-        narrow_native = (
-            av_raw.dtype == xv.dtype
-            and av_raw.dtype in (jnp.bfloat16, jnp.float16)
-            and ar == "f32"
-        )
-        if narrow_native:
-            av, xa = av_raw, xv
-            prec = None
-        else:
-            av = av_raw if av_raw.dtype == ar_dt else av_raw.astype(ar_dt)
-            xa = xv if xv.dtype == ar_dt else xv.astype(ar_dt)
-            # HIGHEST only for f32 operands (the bf16-truncation hazard);
-            # narrow fixed-precision dots are already exact in their tier
-            prec = jax.lax.Precision.HIGHEST if ar_dt == jnp.float32 else None
+        av, xa, prec = _mxu_operands(av_raw, xv, ar)
+        if prec == "native":
+            prec = None  # raw narrow feed: the MXU upcast is already exact
         # the MXU accumulator is always 32-bit (tpu.matmul constraint); for
         # narrow fixed tiers the block partial is rounded to `ar` before the
         # cross-block accumulate — the tier's rounding at block granularity
@@ -312,15 +328,16 @@ def _gemv_fullrow_call(
 ):
     m, n = a.shape
     itemsize = jnp.dtype(a.dtype).itemsize
-    # VMEM budget: double-buffered row panel + x + out, keep under ~9 MB
-    bm = 8
+    # VMEM budget: double-buffered row panel + x + out, keep under ~9 MB.
+    # 8-bit storage tiles at (32, 128) — its row panel floor is 32
+    bm = 32 if itemsize == 1 else 8
     while 2 * (2 * bm) * n * itemsize + n * 4 <= 9 * 2**20 and 2 * bm <= max(m, 8):
         bm *= 2
     if ar == "df64":
         # the Kahan accumulators/chunk temporaries are (bm, 128)-small, so
         # the double-buffered input panel is the whole budget; measured
         # throughput rises with bm up to 128 (256 exhausts VMEM at n=16384)
-        bm = 8
+        bm = 32 if itemsize == 1 else 8
         while (
             2 * (2 * bm) * n * itemsize <= 8 * 2**20
             and 2 * bm <= max(m, 8)
@@ -379,11 +396,18 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
     # 108). f32-over-narrow keeps the native-MXU 2-D grid (733 GFLOP/s).
     fullrow_ok = (ar == "f32" and a.dtype == jnp.float32) or (
         ar == "df64"
-        and a.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+        and a.dtype in (jnp.float32, jnp.bfloat16, jnp.float16) + _F8
     )
-    # the row panel must fit VMEM double-buffered even at the minimum bm=8
+    # 8-bit storage tiles at (32, 128): tiny-m matrices can't form a legal
+    # row panel — route them through the resident mode (they're VMEM-scale
+    # anyway)
+    if a.dtype in _F8 and m < 32:
+        return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out)
+    # the row panel must fit VMEM double-buffered even at the minimum bm
+    # (8 rows; 32 for 8-bit storage whose native tile is (32, 128))
     itemsize = jnp.dtype(a.dtype).itemsize
-    if fullrow_ok and n % 128 == 0 and 2 * 8 * n * itemsize <= 8 * 2**20:
+    min_bm = 32 if itemsize == 1 else 8
+    if fullrow_ok and n % 128 == 0 and 2 * min_bm * n * itemsize <= 8 * 2**20:
         return _gemv_fullrow_call(
             a, x, res, alpha, beta, interpret, st_out, ar=ar, precise=precise
         )
@@ -391,7 +415,7 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
     # df64's compensated-fold temporaries live in VMEM: keep its row-block
     # at 512 (1024 OOMs the 16 MiB scoped budget with bf16 storage)
     bm_cap = 512 if ar == "df64" else BM_MAX
-    bm = min(bm_cap, pow2_ceil(max(m, 8)))
+    bm = min(bm_cap, pow2_ceil(max(m, min_bm)))
     bn = min(BN_MAX, pow2_ceil(max(n, 128)))
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
 
@@ -454,7 +478,7 @@ def gemv(a, x, res, alpha=1.0, beta=1.0, *, interpret=None, resident=None):
     """Fixed-precision GEMV: arithmetic == storage dtype (reference ``gemv``
     launcher, ``cuda/gemv_kernels.cuh:136-147``). `resident` selects the
     XLA-composed small-matrix mode (default: auto by size on TPU)."""
-    ar = dtypes.canon(a.dtype)
+    ar = dtypes.check_arithmetic(a.dtype)  # f8 storage has no fixed tier
     return _gemv_call(a, x, res, alpha, beta, ar, precise=False,
                       interpret=interpret, resident=resident)
 
@@ -464,7 +488,7 @@ def acc_gemv(a, x, res, alpha=1.0, beta=1.0, ar="df64", *, precise=False,
     """Accessor mixed-precision GEMV (reference ``acc_gemv``,
     ``cuda/gemv_kernels.cuh:168-193``): storage dtypes from the arrays,
     arithmetic per `ar` ('f32' | 'df64' | 'bf16')."""
-    ar = dtypes.canon(ar)
+    ar = dtypes.check_arithmetic(ar)
     return _gemv_call(a, x, res, alpha, beta, ar, precise=precise,
                       interpret=interpret, resident=resident)
 

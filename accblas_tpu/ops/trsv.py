@@ -411,7 +411,7 @@ def acc_trsv(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
     `ar`. ar='f32' is the MXU sweep with cast-on-load; ar='df64' adds one
     iterative-refinement step with a df64-exact residual (the fp64-register
     recurrence analogue)."""
-    ar = dtypes.canon(ar)
+    ar = dtypes.check_arithmetic(ar)
     st_out = dtypes.canon(b.dtype)
     x0 = _trsv_impl(a, b, uplo, unit, interpret, st_out="f32", resident=resident)
     if ar == "f32":
@@ -439,7 +439,7 @@ def acc_trsm(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *, i
     """Accessor mixed-precision TRSM: storage from the arrays (bf16/f32),
     f32 arithmetic via cast-on-load; ar='df64' adds one iterative-refinement
     step with a df64-exact residual per column block."""
-    ar = dtypes.canon(ar)
+    ar = dtypes.check_arithmetic(ar)
     st_out = dtypes.canon(b.dtype)
     x0 = _trsm_impl(a, b, uplo, unit, interpret, st_out="f32")
     if ar == "f32":

@@ -1,3 +1,3 @@
-from .blas import pdot, pgemv, power_step, make_mesh
+from .blas import pdot, pgemv, power_step, ptrsm, make_mesh
 
-__all__ = ["pdot", "pgemv", "power_step", "make_mesh"]
+__all__ = ["pdot", "pgemv", "power_step", "ptrsm", "make_mesh"]

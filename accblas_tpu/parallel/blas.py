@@ -102,6 +102,40 @@ def pgemv(
     return f(a, x, res)
 
 
+def ptrsm(
+    a,
+    b,
+    uplo: str = "upper",
+    unit: bool = True,
+    ar: str = "f32",
+    *,
+    mesh: Mesh,
+    rhs_axis: str = "cols",
+):
+    """Sharded multi-RHS triangular solve: T X = B with the right-hand sides
+    sharded over `rhs_axis` and T replicated.
+
+    TRSM's columns are independent solves, so the TPU-native decomposition is
+    embarrassingly parallel over the rhs axis — each chip runs the local
+    Pallas TRSM on its (n, k/axis) panel, zero collectives in the solve (the
+    triangle is broadcast once by the sharding layer). Linear scaling in k;
+    contrast with the reference's single-GPU TRSV which has no multi-rhs or
+    multi-device form at all (``cuda/trsv_kernels.cuh``)."""
+    from ..ops import trsv as trsvops
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, rhs_axis)),
+        out_specs=P(None, rhs_axis),
+        check_vma=False,  # pallas_call out_shapes carry no vma metadata
+    )
+    def f(t_blk, b_blk):
+        return trsvops.acc_trsm(t_blk, b_blk, uplo, unit, ar=ar)
+
+    return f(a, b)
+
+
 def power_step(a, x, r, *, mesh: Mesh, ar: str = "f32"):
     """One full sharded iteration (the dryrun/training-step workload):
     y = A@x + r (TP psum over cols), nu = <y, y> (psum over rows),

@@ -91,13 +91,27 @@ def write_random(buf: np.ndarray, info: MatrixInfo, seed: int, lo=-1.0, hi=1.0) 
     )[:, : info.cols]
 
 
-def convert_mtx(src: np.ndarray, dtype) -> np.ndarray:
-    """Elementwise precision conversion (reference ``cuda/matrix_helper.cuh:93-103``)."""
+def convert_mtx(src: np.ndarray, dtype, rounding: str = "nearest", seed: int = 0) -> np.ndarray:
+    """Elementwise precision conversion (reference ``cuda/matrix_helper.cuh:93-103``).
+
+    `dtype` accepts numpy dtypes or lattice names ('bf16', 'f16', 'f8e4m3',
+    'f8e5m2', ...). ``rounding='stochastic'`` uses the zero-mean SR converter
+    (utils.sr) — the recommended mode for the f8 storage tiers."""
+    from ..accessor import dtypes as _dt
+
+    try:
+        name = _dt.canon(dtype)
+    except ValueError:
+        return src.astype(dtype)
+    if rounding == "stochastic":
+        from . import sr
+
+        return sr.sr_round(src, name, seed=seed)
+    if name in ("f64", "f32"):
+        return src.astype(_dt.jnp_dtype(name))
     import jax.numpy as jnp
 
-    if dtype in ("bf16", "bfloat16"):
-        return np.asarray(jnp.asarray(src).astype(jnp.bfloat16))
-    return src.astype(dtype)
+    return np.asarray(jnp.asarray(src).astype(_dt.jnp_dtype(name)))
 
 
 def format_mtx(mtx: np.ndarray, max_rows: int = 8, max_cols: int = 8) -> str:

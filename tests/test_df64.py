@@ -119,3 +119,24 @@ def test_cascaded_fold_arbitrary_sizes(rng):
     out = df64.cascaded_fold(p, out_rows=1)
     got = np.asarray(out.hi, np.float64)[0] + np.asarray(out.lo, np.float64)[0]
     np.testing.assert_allclose(got, np.asarray(p, np.float64).sum(0), rtol=1e-12)
+
+
+def test_two_prod_mask_split_exact_bulk():
+    """The mask-split two_prod must be a true EFT: p + e == a*b exactly over
+    a large random sample (the property the df64 precise tiers build on)."""
+    rng = np.random.default_rng(7)
+    a = rng.uniform(-1, 1, 1_000_000).astype(np.float32)
+    b = rng.uniform(-1, 1, 1_000_000).astype(np.float32)
+    p, e = df64.two_prod(jnp.asarray(a), jnp.asarray(b))
+    exact = a.astype(np.float64) * b.astype(np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    assert np.array_equal(got, exact)
+    # and across magnitudes (exponent spread kept inside the universal EFT
+    # validity range: any two_prod's error term underflows to subnormal for
+    # |a*b| < ~2^-104, mask-split and multiply-split alike)
+    a2 = (a * np.float32(2.0) ** rng.integers(-25, 25, a.shape)).astype(np.float32)
+    b2 = (b * np.float32(2.0) ** rng.integers(-25, 25, b.shape)).astype(np.float32)
+    p2, e2 = df64.two_prod(jnp.asarray(a2), jnp.asarray(b2))
+    exact2 = a2.astype(np.float64) * b2.astype(np.float64)
+    got2 = np.asarray(p2, np.float64) + np.asarray(e2, np.float64)
+    assert np.array_equal(got2, exact2)

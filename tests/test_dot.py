@@ -198,3 +198,50 @@ def test_acc_dot_resident_df64():
     # init seeding works in resident mode too
     out_i = dotops.dot(x, y, init=jnp.float32(2.5), resident=True)
     assert _rel(float(out_i), ref + 2.5) < 1e-5
+
+
+@pytest.mark.parametrize("st", ["f8e4m3", "f8e5m2", "f16"])
+def test_acc_dot_narrow_storage_tiers(st):
+    """f16/f8 storage under f32 arithmetic: the f32 products of narrow
+    storage values are exact, so the kernel result must match an fp64 dot of
+    the STORED values to f32 accumulation error."""
+    from accblas_tpu.accessor import dtypes
+    from accblas_tpu.utils.sr import sr_round
+
+    n = 8192
+    x64, y64 = _vecs(n)
+    x = jnp.asarray(sr_round(x64, st, seed=1))
+    y = jnp.asarray(sr_round(y64, st, seed=2))
+    ref_stored = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+    got = float(dotops.acc_dot(x, y, ar="f32", resident=False))
+    assert _rel(got, ref_stored) < 1e-5
+    # df64 arithmetic over f8/f16 storage: at the df64 arithmetic floor
+    got_df = float(df64.df_to_f64(dotops.acc_dot(x, y, ar="df64", resident=False)))
+    assert _rel(got_df, ref_stored) < 1e-10
+
+
+def test_f8_storage_error_floor_flat():
+    """The flagship flat-error property extends down-lattice: the f8e4m3
+    storage tier's relative error is pinned at the (SR-converted) storage
+    floor ~2^-9, independent of n."""
+    from accblas_tpu.utils.sr import sr_round
+
+    errs = []
+    for n in (2**12, 2**15):
+        x64, y64 = _vecs(n)
+        x8 = jnp.asarray(sr_round(x64, "f8e4m3", seed=3))
+        y8 = jnp.asarray(sr_round(y64, "f8e4m3", seed=4))
+        ref = x64 @ y64
+        got = float(dotops.acc_dot(x8, y8, ar="f32", resident=False))
+        errs.append(_rel(got, ref))
+    for e in errs:
+        assert 1e-4 < e < 0.1  # the f8 storage floor, not an arithmetic blowup
+    assert errs[1] < errs[0] * 10  # flat-ish in n (no linear growth)
+
+
+def test_fixed_tier_rejects_f8():
+    x = jnp.zeros(256, jnp.float8_e4m3fn)
+    with pytest.raises(ValueError, match="storage-only"):
+        dotops.dot(x, x)
+    with pytest.raises(ValueError, match="storage-only"):
+        dotops.acc_dot(x, x, ar="f8e4m3")

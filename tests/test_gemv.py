@@ -210,3 +210,30 @@ def test_acc_gemv_resident_bf16_storage():
     assert _rel(got, ref) < 1e-5
     got_df = gemvops.acc_gemv(ab, xb, r, 1.0, 1.0, ar="df64", resident=True)
     assert _rel(got_df, ref) < 1e-6
+
+
+@pytest.mark.parametrize("st", ["f8e4m3", "f16"])
+@pytest.mark.parametrize("resident", [False, True])
+def test_acc_gemv_narrow_storage_tiers(st, resident):
+    """f16/f8 storage under f32 arithmetic (MXU path upcasts f8 to bf16 —
+    exact) and under df64 arithmetic (fullrow Kahan path)."""
+    from accblas_tpu.utils.sr import sr_round
+    from accblas_tpu.ops import df64 as dfm
+
+    m, n = 96, 1024
+    a64 = gen_mtx(MatrixInfo(m, n), seed=42)
+    x64 = gen_mtx(MatrixInfo(1, n), seed=43)[0]
+    a = jnp.asarray(sr_round(a64, st, seed=1))
+    x = jnp.asarray(sr_round(x64, st, seed=2))
+    res = jnp.zeros(m, jnp.float32)
+    ref = np.asarray(a, np.float64) @ np.asarray(x, np.float64)
+    got = np.asarray(
+        gemvops.acc_gemv(a, x, res, 1.0, 0.0, ar="f32", resident=resident),
+        np.float64,
+    )
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+    got_df = np.asarray(
+        gemvops.acc_gemv(a, x, res, 1.0, 0.0, ar="df64", resident=resident),
+        np.float64,
+    )
+    assert np.max(np.abs(got_df - ref)) / np.max(np.abs(ref)) < 1e-6

@@ -83,3 +83,24 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_ptrsm_matches_local(mesh):
+    """rhs-sharded TRSM: each chip solves its rhs panel, zero collectives."""
+    import scipy.linalg
+
+    from accblas_tpu.parallel import ptrsm
+
+    n, k = 256, 32
+    a64 = gen_mtx(MatrixInfo(n, n), seed=11)
+    lu64, _ = scipy.linalg.lu_factor(a64)
+    b64 = gen_mtx(MatrixInfo(n, k), seed=12)
+    t = np.triu(lu64)
+    ref = scipy.linalg.solve_triangular(t, b64, lower=False)
+    a = jnp.asarray(lu64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    got = np.asarray(
+        ptrsm(a, b, uplo="upper", unit=False, ar="f32", mesh=mesh), np.float64
+    )
+    assert got.shape == (n, k)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-4
