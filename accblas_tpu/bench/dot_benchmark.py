@@ -128,6 +128,24 @@ def main():
 
     if args.error:
         errs = {n: {nm: [] for nm in names} for n in sizes}
+
+        # one jitted callable per variant, shared across randomizations and
+        # sizes (eager dispatch through the remote tunnel costs ~30 ms/op —
+        # the resident small-n tiers are dozens of ops, so unjitted error
+        # runs measured minutes per variant)
+        def _jfn(kind, kw):
+            if kind == "fixed":
+                return jax.jit(lambda x, y: dotops.dot(x, y))
+            if kind == "df":
+                return jax.jit(lambda x, y: dotops.acc_dot(x, y, ar="df64", **kw))
+            if kind == "acc32":
+                return jax.jit(lambda x, y: dotops.acc_dot(x, y, ar="f32"))
+            return jax.jit(lambda x, y: dotops.xla_dot(x, y))
+
+        jfns = {nm: _jfn(kind, kw) for nm, f, kind, kw in variants if kind != "oracle"}
+        joracle = jax.jit(
+            lambda xh, xl, yh, yl: oracle.dot_df64(xh, xl, yh, yl)
+        )
         for r in range(args.randomizations):
             # fresh master draw per randomization (the write_random +
             # convert_from rerun, cuda/dot_benchmark.cu:195-200) — device and
@@ -146,16 +164,9 @@ def main():
                     if f != fam or kind == "oracle":
                         continue
                     for n in sizes:
-                        def run(n=n, kind=kind, kw=kw):
-                            xs, ys = _lead(xf, n), _lead(yf, n)
-                            if kind == "fixed":
-                                return dotops.dot(xs, ys)
-                            if kind == "df":
-                                return dotops.acc_dot(xs, ys, ar="df64", **kw)
-                            if kind == "acc32":
-                                return dotops.acc_dot(xs, ys, ar="f32")
-                            return dotops.xla_dot(xs, ys)
-                        out = _run_error(run)
+                        out = _run_error(
+                            lambda n=n, nm=nm: jfns[nm](_lead(xf, n), _lead(yf, n))
+                        )
                         got = float(dfm.df_to_f64(out)) if kind == "df" else float(
                             jnp.asarray(out, jnp.float32)
                         )
@@ -173,11 +184,12 @@ def main():
                 onm = next(v[0] for v in variants if v[1] == "oracle")
                 for n in sizes:
                     def run(n=n):
-                        return oracle.dot_df64(
+                        return joracle(
                             _lead(xh, n), _lead(xl, n), _lead(yh, n), _lead(yl, n)
                         )
                     got = float(dfm.df_to_f64(_run_error(run)))
                     errs[n][onm].append(abs(got - refs[n]) / abs(refs[n]))
+                common.progress(f"r={r} oracle done")
                 del xh, xl, yh, yl
         for n in sizes:
             results[n] = {nm: common.median(errs[n][nm]) for nm in names}

@@ -100,6 +100,27 @@ def main():
         x64 = devgen.master_f64((max_n,), seed, "gemv_x")
         r64 = devgen.master_f64((max_n,), seed, "gemv_res")
         results = {n: {} for n in sizes}
+
+        # jitted per variant (shared across sizes): eager dispatch through
+        # the remote tunnel is ~30 ms/op
+        def _jfn(kind, kw, fam):
+            if kind == "fixed":
+                return jax.jit(
+                    lambda a, x, r: gemvops.gemv(
+                        a, x, r.astype(a.dtype) if fam == "bf16" else r, ALPHA, BETA
+                    )
+                )
+            if kind == "df":
+                return jax.jit(
+                    lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="df64", **kw)
+                )
+            if kind == "acc32":
+                return jax.jit(
+                    lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="f32")
+                )
+            return jax.jit(lambda a, x, r: gemvops.xla_gemv(a, x, r, ALPHA, BETA))
+
+        jfns = {nm: _jfn(kind, kw, f) for nm, f, kind, kw in variants if f != "oracle"}
         fams = sorted({v[1] for v in variants} - {"oracle"})
         for fam in fams:
             af, xf = _family_arrays(fam, a32, x32, seed)
@@ -108,20 +129,15 @@ def main():
                     continue
                 for n in sizes:
                     ref = ALPHA * (a64[:n, :n] @ x64[:n]) + BETA * r64[:n]
-                    def run(n=n, kind=kind, kw=kw, af=af, xf=xf):
-                        a_, x_, r_ = _lead2(af, n), _lead2(xf, n), _lead2(r32, n)
-                        if kind == "fixed":
-                            return gemvops.gemv(a_, x_, r_.astype(a_.dtype)
-                                                if fam == "bf16" else r_, ALPHA, BETA)
-                        if kind == "df":
-                            return gemvops.acc_gemv(a_, x_, r_, ALPHA, BETA, ar="df64", **kw)
-                        if kind == "acc32":
-                            return gemvops.acc_gemv(a_, x_, r_, ALPHA, BETA, ar="f32")
-                        return gemvops.xla_gemv(a_, x_, r_, ALPHA, BETA)
-                    out = _run_error(run)
+                    out = _run_error(
+                        lambda n=n, nm=nm: jfns[nm](
+                            _lead2(af, n), _lead2(xf, n), _lead2(r32, n)
+                        )
+                    )
                     results[n][nm] = relative_error(
                         np.asarray(out.astype(jnp.float32), np.float64), ref
                     )
+                common.progress(f"{nm} error done")
             if fam != "f32":
                 del af, xf
         if any(v[1] == "oracle" for v in variants):

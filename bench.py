@@ -37,18 +37,19 @@ def main():
 
     from accblas_tpu.ops import dot as dotops
     from accblas_tpu.ops import gemv as gemvops
-    from accblas_tpu.utils import MatrixInfo, gen_mtx
     from accblas_tpu.utils.bench import benchmark_loop
 
     kind, hbm_gbps = device_info()
     details = {"device": kind, "hbm_peak_gbps": hbm_gbps}
 
     # ---- headline: DOT Acc<f32, bf16> at n = 2^29 ----
-    x64 = gen_mtx(MatrixInfo(1, N_DOT), seed=42)[0]
-    y64 = gen_mtx(MatrixInfo(1, N_DOT), seed=43)[0]
-    xb = jax.device_put(x64.astype(np.float32)).astype(jnp.bfloat16)
-    yb = jax.device_put(y64.astype(np.float32)).astype(jnp.bfloat16)
-    del x64, y64
+    # data generated on device (seed-42 threefry, uniform(-1,1) — see
+    # utils.devgen): the H→D copy of 4 GiB would cost minutes through the
+    # tunnel and timing is data-independent
+    from accblas_tpu.utils import devgen
+
+    xb = devgen.gen_f32((N_DOT,), 42, "dot_x").astype(jnp.bfloat16)
+    yb = devgen.gen_f32((N_DOT,), 42, "dot_y").astype(jnp.bfloat16)
 
     ms = benchmark_loop(
         lambda c, xb, yb: dotops.acc_dot(xb, yb, ar="f32", init=c * 1e-30),
@@ -67,11 +68,9 @@ def main():
     del xb, yb
 
     # ---- context: GEMV Acc<f32, bf16> at 16384^2 ----
-    a64 = gen_mtx(MatrixInfo(N_GEMV, N_GEMV), seed=42)
-    ab = jax.device_put(a64.astype(np.float32)).astype(jnp.bfloat16)
-    del a64
-    xg = jax.device_put(gen_mtx(MatrixInfo(1, N_GEMV), seed=43)[0].astype(np.float32)).astype(jnp.bfloat16)
-    rg = jax.device_put(gen_mtx(MatrixInfo(1, N_GEMV), seed=44)[0].astype(np.float32))
+    ab = devgen.gen_f32((N_GEMV, N_GEMV), 42, "gemv_a").astype(jnp.bfloat16)
+    xg = devgen.gen_f32((N_GEMV,), 42, "gemv_x").astype(jnp.bfloat16)
+    rg = devgen.gen_f32((N_GEMV,), 42, "gemv_res")
     ms_g = benchmark_loop(
         lambda c, ab, xg: gemvops.acc_gemv(ab, xg, c, 1.0, 0.0, ar="f32"),
         rg,
