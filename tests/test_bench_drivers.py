@@ -83,3 +83,34 @@ def test_plot_generation(tmp_path):
     out = tmp_path / "demo.svg"
     plot.make_plot(str(csv), "flops", str(out))
     assert out.exists() and (tmp_path / "demo.pdf").exists()
+
+
+def test_dot_driver_no_align_ragged(capsys):
+    """--no-align sweeps arbitrary sizes (the reference's grids are
+    arbitrary); kernels mask the ragged tail."""
+    from accblas_tpu.bench import dot_benchmark as d
+
+    header, rows = _run_main(
+        d,
+        ["dot_benchmark", "--error", "--size=1048577", "--sweep=single",
+         "--no-align", "--randomizations=1"],
+        capsys,
+    )
+    assert rows[0][0] == "1048577"
+    vals = dict(zip(header[1:], map(float, rows[0][1:])))
+    assert vals["DOT Acc<df64,f32>"] < 1e-6
+    assert vals["DOT df64 oracle (device)"] < 1e-10
+
+
+def test_trsm_driver_mode(capsys):
+    from accblas_tpu.bench import trsv_benchmark as t
+
+    header, rows = _run_main(
+        t, ["trsv_benchmark", "--error", "--size=1024", "--sweep=single",
+            "--nrhs=8", "--no-unit"],
+        capsys,
+    )
+    assert header[1] == "TRSM fp32"
+    vals = dict(zip(header[1:], map(float, rows[0][1:])))
+    assert vals["TRSM fp32"] < 1e-3
+    assert vals["TRSM Acc<df64,f32>"] <= vals["TRSM fp32"]
