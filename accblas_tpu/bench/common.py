@@ -120,6 +120,17 @@ def progress(msg: str):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def guarded(fn, label: str) -> float:
+    """Run one measurement; a failing tier records NaN instead of killing
+    the sweep (rows are buffered — an uncaught crash at one (variant, size)
+    would lose every completed measurement)."""
+    try:
+        return float(fn())
+    except Exception as e:  # noqa: BLE001 - deliberate fault isolation
+        progress(f"FAILED {label}: {type(e).__name__}: {str(e)[:300]}")
+        return float("nan")
+
+
 def median(vals) -> float:
     """Median over re-randomizations (reference ``dot_benchmark.cu:238-259``)."""
     return float(np.median(np.asarray(vals, np.float64)))

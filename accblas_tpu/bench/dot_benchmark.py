@@ -164,13 +164,18 @@ def main():
                     if f != fam or kind == "oracle":
                         continue
                     for n in sizes:
-                        out = _run_error(
-                            lambda n=n, nm=nm: jfns[nm](_lead(xf, n), _lead(yf, n))
-                        )
-                        got = float(dfm.df_to_f64(out)) if kind == "df" else float(
-                            jnp.asarray(out, jnp.float32)
-                        )
-                        errs[n][nm].append(abs(got - refs[n]) / abs(refs[n]))
+                        def eval_once(n=n, nm=nm, kind=kind):
+                            out = _run_error(
+                                lambda: jfns[nm](_lead(xf, n), _lead(yf, n))
+                            )
+                            got = (
+                                float(dfm.df_to_f64(out))
+                                if kind == "df"
+                                else float(jnp.asarray(out, jnp.float32))
+                            )
+                            return abs(got - refs[n]) / abs(refs[n])
+
+                        errs[n][nm].append(common.guarded(eval_once, f"{nm} n={n}"))
                     common.progress(f"r={r} {nm} done")
                 if fam != "f32":
                     del xf, yf
@@ -183,12 +188,16 @@ def main():
                 yh, yl = devgen.split_df64(None, (max_n,), seed, "dot_y", r)
                 onm = next(v[0] for v in variants if v[1] == "oracle")
                 for n in sizes:
-                    def run(n=n):
-                        return joracle(
-                            _lead(xh, n), _lead(xl, n), _lead(yh, n), _lead(yl, n)
+                    def eval_oracle(n=n):
+                        out = _run_error(
+                            lambda: joracle(
+                                _lead(xh, n), _lead(xl, n), _lead(yh, n), _lead(yl, n)
+                            )
                         )
-                    got = float(dfm.df_to_f64(_run_error(run)))
-                    errs[n][onm].append(abs(got - refs[n]) / abs(refs[n]))
+                        got = float(dfm.df_to_f64(out))
+                        return abs(got - refs[n]) / abs(refs[n])
+
+                    errs[n][onm].append(common.guarded(eval_oracle, f"oracle n={n}"))
                 common.progress(f"r={r} oracle done")
                 del xh, xl, yh, yl
         for n in sizes:
@@ -208,8 +217,10 @@ def main():
                     c0 = (
                         (jnp.float32(0.0), ys) if kind == "xla" else jnp.float32(0.0)
                     )
-                    ms = benchmark_loop(body, c0, args=(xs, ys))
-                    results[n][nm] = 2.0 * n / (ms * 1e-3) / 1e9
+                    results[n][nm] = common.guarded(
+                        lambda: 2.0 * n / (benchmark_loop(body, c0, args=(xs, ys)) * 1e-3) / 1e9,
+                        f"{nm} n={n}",
+                    )
                     common.progress(f"{nm} n={n}: {results[n][nm]:.1f} GFLOP/s")
             if fam != "f32":
                 del xf, yf

@@ -129,14 +129,18 @@ def main():
                     continue
                 for n in sizes:
                     ref = ALPHA * (a64[:n, :n] @ x64[:n]) + BETA * r64[:n]
-                    out = _run_error(
-                        lambda n=n, nm=nm: jfns[nm](
-                            _lead2(af, n), _lead2(xf, n), _lead2(r32, n)
+
+                    def eval_once(n=n, nm=nm, ref=ref):
+                        out = _run_error(
+                            lambda: jfns[nm](
+                                _lead2(af, n), _lead2(xf, n), _lead2(r32, n)
+                            )
                         )
-                    )
-                    results[n][nm] = relative_error(
-                        np.asarray(out.astype(jnp.float32), np.float64), ref
-                    )
+                        return relative_error(
+                            np.asarray(out.astype(jnp.float32), np.float64), ref
+                        )
+
+                    results[n][nm] = common.guarded(eval_once, f"{nm} n={n}")
                 common.progress(f"{nm} error done")
             if fam != "f32":
                 del af, xf
@@ -148,19 +152,23 @@ def main():
             rh, rl = devgen.split_df64(None, (max_n,), seed, "gemv_res")
             for n in sizes:
                 ref = ALPHA * (a64[:n, :n] @ x64[:n]) + BETA * r64[:n]
-                def run(n=n):
-                    ax = oracle.gemv_df64(
-                        _lead2(ah, n), _lead2(al, n), _lead2(xh, n), _lead2(xl, n)
-                    )
-                    out = dfm.df_add(
-                        dfm.df_mul_f32(ax, jnp.float32(ALPHA)),
-                        dfm.df_mul_f32(dfm.DF(_lead2(rh, n), _lead2(rl, n)),
-                                       jnp.float32(BETA)),
-                    )
-                    return out
-                out = _run_error(run)
-                got = np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64)
-                results[n][onm] = relative_error(got, ref)
+
+                def eval_oracle(n=n, ref=ref):
+                    def run():
+                        ax = oracle.gemv_df64(
+                            _lead2(ah, n), _lead2(al, n), _lead2(xh, n), _lead2(xl, n)
+                        )
+                        return dfm.df_add(
+                            dfm.df_mul_f32(ax, jnp.float32(ALPHA)),
+                            dfm.df_mul_f32(dfm.DF(_lead2(rh, n), _lead2(rl, n)),
+                                           jnp.float32(BETA)),
+                        )
+                    out = _run_error(run)
+                    got = np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64)
+                    return relative_error(got, ref)
+
+                results[n][onm] = common.guarded(eval_oracle, f"oracle n={n}")
+                common.progress(f"oracle n={n} done")
         for n in sizes:
             common.emit_row(n, [results[n][nm] for nm in names])
         return
@@ -193,8 +201,10 @@ def main():
                 else:
                     def body(c, a_, x_):
                         return gemvops.acc_gemv(a_, x_, c, ALPHA, BETA, ar="f32")
-                ms = benchmark_loop(body, r_, args=(a_, x_))
-                results[n][nm] = 2.0 * n * n / (ms * 1e-3) / 1e9
+                results[n][nm] = common.guarded(
+                    lambda: 2.0 * n * n / (benchmark_loop(body, r_, args=(a_, x_)) * 1e-3) / 1e9,
+                    f"{nm} n={n}",
+                )
                 common.progress(f"{nm} n={n}: {results[n][nm]:.1f} GFLOP/s")
         if fam != "f32":
             del af, xf

@@ -161,19 +161,26 @@ def main():
                 t, b64[:n], lower=(uplo == "lower"), unit_diagonal=unit
             )
             vals = [
-                relative_error(np.asarray(_run_error(lambda f=fn, o=ops_: f(*o)),
-                                          np.float64), ref)
+                common.guarded(
+                    lambda f=fn, o=ops_: relative_error(
+                        np.asarray(_run_error(lambda: f(*o)), np.float64), ref
+                    ),
+                    f"entry n={n}",
+                )
                 for fn, ops_ in entries
             ]
             if not nrhs:
-                x = _run_error(
-                    lambda: oracle.trsv_df64(
-                        th_full[:n, :n], tl_full[:n, :n], bh_full[:n], bl_full[:n],
-                        uplo, unit,
+                def eval_oracle():
+                    x = _run_error(
+                        lambda: oracle.trsv_df64(
+                            th_full[:n, :n], tl_full[:n, :n], bh_full[:n],
+                            bl_full[:n], uplo, unit,
+                        )
                     )
-                )
-                got = np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)
-                vals.append(relative_error(got, ref))
+                    got = np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)
+                    return relative_error(got, ref)
+
+                vals.append(common.guarded(eval_oracle, f"oracle n={n}"))
         else:
             # chained loop timing: the previous solution (clipped, so repeated
             # ill-conditioned solves stay bounded) becomes the next rhs — a
@@ -186,8 +193,10 @@ def main():
                 def body(c, a_, b_, fn=fn):
                     return fn(a_, jnp.clip(c, -1.0, 1.0).astype(b_.dtype))
 
-                ms = benchmark_loop(body, b_, args=(a_, b_))
-                vals.append(flops_per_n(n) / (ms * 1e-3) / 1e9)
+                vals.append(common.guarded(
+                    lambda: flops_per_n(n) / (benchmark_loop(body, b_, args=(a_, b_)) * 1e-3) / 1e9,
+                    f"entry n={n}",
+                ))
         common.emit_row(n, vals)
         print(f"# trsv n={n} done", file=sys.stderr, flush=True)
 

@@ -231,15 +231,20 @@ def _dot_kernel(
 def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None):
     if x.shape != y.shape or x.ndim != 1:
         raise ValueError(f"dot expects equal-length vectors, got {x.shape} {y.shape}")
+    if interpret is None:
+        interpret = interpret_default()
     in_bytes = x.shape[0] * (x.dtype.itemsize + y.dtype.itemsize)
     if resident is None:
         resident = in_bytes <= RESIDENT_BYTES and jax.default_backend() == "tpu"
+    # Mosaic has no f16 type (v5e rejects it at kernel compile) — the f16
+    # storage tier runs XLA-composed at every size on hardware; the Pallas
+    # form still serves CPU interpret mode (tests)
+    if not interpret and jnp.float16 in (x.dtype, y.dtype):
+        resident = True
     if resident:
         return _dot_small(x, y, ar, precise, init)
     spec_x = ReducedRowMajor(ar, dtypes.canon(x.dtype))
     spec_y = ReducedRowMajor(ar, dtypes.canon(y.dtype))
-    if interpret is None:
-        interpret = interpret_default()
 
     # mixed-storage inputs must agree on row geometry: pad both to the wider
     # of the two native sublane tiles (8-bit storage tiles at (32, 128))

@@ -387,6 +387,11 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
             m * n * jnp.dtype(a.dtype).itemsize <= RESIDENT_BYTES
             and jax.default_backend() == "tpu"
         )
+    # Mosaic has no f16 type (v5e rejects it at kernel compile) — the f16
+    # storage tier runs XLA-composed at every size on hardware; the Pallas
+    # form still serves CPU interpret mode (tests)
+    if not interpret and jnp.float16 in (a.dtype, x.dtype):
+        resident = True
     if resident:
         return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out)
 

@@ -367,6 +367,13 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str):
     lower = uplo == "lower"
     if interpret is None:
         interpret = interpret_default()
+    # Mosaic has no f16 type: upcast f16 storage to f32 before the kernel on
+    # hardware (TRSV/TRSM is the one family where the cast-outside cost is
+    # acceptable — the solve is latency-, not bandwidth-, dominated)
+    if not interpret and a.dtype == jnp.float16:
+        a = a.astype(jnp.float32)
+    if not interpret and b.dtype == jnp.float16:
+        b = b.astype(jnp.float32)
     block = _block_for(n)
     leaf = min(LEAF, block)
     bt = b.T.astype(jnp.float32)  # (k, n) row-panel form
