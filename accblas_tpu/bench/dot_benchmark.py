@@ -84,28 +84,34 @@ def _family_arrays(family: str, x32, y32, seed: int, r: int):
 
 
 def _timing_body(kind: str, kw: dict, jnp, dotops):
-    """body(c, x, y) consuming the carry through the kernel's init/operand
-    (arrays ride as loop args, never closures — closures bake multi-GB
-    constants into the executable)."""
+    """body(c, x, y) with carry c = (scalar, y-copy): each iteration perturbs
+    one element of the carried y by the previous result before the dot.
 
-    def chain(c):
-        return c.astype(jnp.float32) * 1e-30
+    The perturbation is the ONLY loop-carried data dependence that pins the
+    work inside the timing loop for every execution path: the XLA-composed
+    resident/f16 modes are jnp graphs whose reduction XLA happily hoists if
+    only the `init` epilogue touches the carry (measured: PFLOP/s fiction).
+    The y-copy rides as the loop carry, so the .at[0].add aliases in place —
+    O(1) per iteration, no bandwidth distortion (verified: the XLA fp32 tier
+    measures 92% of HBM roofline at n=2^29 with this structure). Arrays ride
+    as loop args, never closures (closures bake multi-GB constants into the
+    executable)."""
+
+    def mk(fn):
+        def body(c, x, y):
+            s, yc = c
+            yc = yc.at[0].add((s * 1e-30).astype(yc.dtype))
+            return fn(x, yc), yc
+
+        return body
 
     if kind == "fixed":
-        return lambda c, x, y: dotops.dot(x, y, init=chain(c)).astype(jnp.float32)
+        return mk(lambda x, y: dotops.dot(x, y).astype(jnp.float32))
     if kind == "df":
-        return lambda c, x, y: dotops.acc_dot(x, y, ar="df64", init=chain(c), **kw).hi
+        return mk(lambda x, y: dotops.acc_dot(x, y, ar="df64", **kw).hi)
     if kind == "acc32":
-        return lambda c, x, y: dotops.acc_dot(x, y, ar="f32", init=chain(c))
-
-    # XLA tier: jnp.dot has no seed input; the carry perturbs one element of
-    # a carried copy of y (O(1): while-loop carries alias in place)
-    def xla_body(c, x, y):
-        s, yc = c
-        yc = yc.at[0].add((s * 1e-30).astype(yc.dtype))
-        return dotops.xla_dot(x, yc).astype(jnp.float32), yc
-
-    return xla_body
+        return mk(lambda x, y: dotops.acc_dot(x, y, ar="f32"))
+    return mk(lambda x, y: dotops.xla_dot(x, y).astype(jnp.float32))
 
 
 def main():
@@ -214,9 +220,7 @@ def main():
                 body = _timing_body(kind, kw, jnp, dotops)
                 for n in sizes:
                     xs, ys = _lead(xf, n), _lead(yf, n)
-                    c0 = (
-                        (jnp.float32(0.0), ys) if kind == "xla" else jnp.float32(0.0)
-                    )
+                    c0 = (jnp.float32(0.0), ys)
                     results[n][nm] = common.guarded(
                         lambda: 2.0 * n / (benchmark_loop(body, c0, args=(xs, ys)) * 1e-3) / 1e9,
                         f"{nm} n={n}",

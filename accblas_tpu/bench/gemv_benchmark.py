@@ -173,9 +173,12 @@ def main():
             common.emit_row(n, [results[n][nm] for nm in names])
         return
 
-    # flops mode: chained loop timing, res as the carry; the XLA tier's
-    # matvec ignores res values, so its x operand additionally gets a
-    # one-element carry perturbation to prevent hoisting
+    # flops mode: chained loop timing, res as the carry AND a one-element
+    # carry perturbation of x before every matvec. res alone is not enough:
+    # the XLA-composed resident/f16 paths compute the matvec independently of
+    # res, and XLA hoists it out of the timing loop (measured PFLOP/s
+    # fiction); the x-perturbation pins the matvec itself. The x copy it
+    # implies is O(n) against the O(n²) matrix stream — immaterial.
     results = {n: {} for n in sizes}
     fams = sorted({v[1] for v in variants})
     for fam in fams:
@@ -188,19 +191,22 @@ def main():
                 r_ = _lead2(r32, n)
                 if kind == "fixed" and fam == "bf16":
                     r_ = r_.astype(jnp.bfloat16)
-                if kind == "xla":
-                    def body(c, a_, x_, kind=kind):
-                        xc = x_.at[0].add((c[0] * 1e-30).astype(x_.dtype))
-                        return gemvops.xla_gemv(a_, xc, c, ALPHA, BETA)
-                elif kind == "fixed":
-                    def body(c, a_, x_):
-                        return gemvops.gemv(a_, x_, c, ALPHA, BETA)
-                elif kind == "df":
-                    def body(c, a_, x_, kw=kw):
-                        return gemvops.acc_gemv(a_, x_, c, ALPHA, BETA, ar="df64", **kw)
-                else:
-                    def body(c, a_, x_):
-                        return gemvops.acc_gemv(a_, x_, c, ALPHA, BETA, ar="f32")
+
+                def tier(a, x, r, kind=kind, kw=kw):
+                    if kind == "xla":
+                        return gemvops.xla_gemv(a, x, r, ALPHA, BETA)
+                    if kind == "fixed":
+                        return gemvops.gemv(a, x, r, ALPHA, BETA)
+                    if kind == "df":
+                        return gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="df64", **kw)
+                    return gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="f32")
+
+                def body(c, a_, x_, tier=tier):
+                    xc = x_.at[0].add(
+                        (c[0].astype(jnp.float32) * 1e-30).astype(x_.dtype)
+                    )
+                    return tier(a_, xc, c)
+
                 results[n][nm] = common.guarded(
                     lambda: 2.0 * n * n / (benchmark_loop(body, r_, args=(a_, x_)) * 1e-3) / 1e9,
                     f"{nm} n={n}",

@@ -102,8 +102,12 @@ def two_prod(a, b):
     so the cut shows up directly as throughput (measured 160→~180 GF/s at
     n=2^27 on v5e)."""
     p = a * b
-    ah, al = _split_mask(a)
-    bh, bl = _split_mask(b)
+    # Mosaic's tpu.bitcast requires vector operands — scalar factors (e.g.
+    # the alpha epilogue's (1,1)-ref read) take the multiply split instead
+    split_a = _split if jnp.ndim(a) == 0 else _split_mask
+    split_b = _split if jnp.ndim(b) == 0 else _split_mask
+    ah, al = split_a(a)
+    bh, bl = split_b(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, e
 

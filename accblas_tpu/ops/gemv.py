@@ -328,10 +328,13 @@ def _gemv_fullrow_call(
 ):
     m, n = a.shape
     itemsize = jnp.dtype(a.dtype).itemsize
-    # VMEM budget: double-buffered row panel + x + out, keep under ~9 MB.
+    # VMEM budget: double-buffered row panel + x + out, keep under ~13.5 MB
+    # of the 16 MiB scoped limit (bm=32 must survive n=24576 — the sweep
+    # endpoint; the old 9 MB budget dropped it to bm=16 there, measuring
+    # 354 GF/s where bm=32 holds ~368+).
     # 8-bit storage tiles at (32, 128) — its row panel floor is 32
     bm = 32 if itemsize == 1 else 8
-    while 2 * (2 * bm) * n * itemsize + n * 4 <= 9 * 2**20 and 2 * bm <= max(m, 8):
+    while 2 * (2 * bm) * n * itemsize + n * 4 <= 27 * 2**19 and 2 * bm <= max(m, 8):
         bm *= 2
     if ar == "df64":
         # the Kahan accumulators/chunk temporaries are (bm, 128)-small, so
