@@ -289,7 +289,7 @@ RESIDENT_N = 2048
 
 
 def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
-    """XLA-composed small-n TRSV for the compiler-resident regime.
+    """XLA-composed small-n TRSV/TRSM for the compiler-resident regime.
 
     Same blocked-substitution structure as the Pallas sweep, but the diagonal
     blocks are fully inverted (the leaf level collapses: a handful of big
@@ -297,11 +297,19 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     a repeated-solve loop XLA hoists the inversions — they depend only on the
     matrix). Diagonal-block inversion error is ~cond(T_bb)*eps_f32 — same
     class as the reference's in-kernel Gauss-Jordan inverses
-    (cuda/trsv_kernels.cuh:125-162), checked by tests against substitution."""
+    (cuda/trsv_kernels.cuh:125-162), checked by tests against substitution.
+
+    `b` may be (n,) or (n, k) — the multi-rhs form turns every matvec below
+    into an MXU GEMM (the small-TRSM mode)."""
     n = a.shape[0]
+    vec = b.ndim == 1
+    b2 = (b.reshape(n, 1) if vec else b).astype(jnp.float32)
     lower = uplo == "lower"
     block = _block_for(n)
-    a_p, b_p, nb, npad = _pad_packed(a, b.astype(jnp.float32), block)
+    nb = pl.cdiv(n, block)
+    npad = nb * block
+    a_p, _, _, _ = _pad_packed(a, b2[:, 0], block)
+    b_p = jnp.pad(b2, ((0, npad - n), (0, 0))) if npad != n else b2
     af = a_p.astype(jnp.float32)
 
     # block-diagonal extraction via reshape-gather (cheap at this size; the
@@ -320,7 +328,7 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
         )  # (nb, block, block)
 
     hi = jax.lax.Precision.HIGHEST
-    xs: list = [None] * nb  # solved (block,) pieces, logical block index
+    xs: list = [None] * nb  # solved (block, k) pieces, logical block index
     order = range(nb) if lower else range(nb - 1, -1, -1)
     for bi in order:
         rhs = b_p[bi * block : (bi + 1) * block]
@@ -332,8 +340,8 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
                 af[bi * block : (bi + 1) * block, lo_c:hi_c], xcat, precision=hi
             )
         xs[bi] = jnp.matmul(inv[bi], rhs, precision=hi)
-    x = jnp.concatenate(xs)
-    return x[:n].astype(dtypes.jnp_dtype(st_out))
+    x = jnp.concatenate(xs)[:n].astype(dtypes.jnp_dtype(st_out))
+    return x[:, 0] if vec else x
 
 
 def _block_for(n: int) -> int:
@@ -374,6 +382,10 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str):
         a = a.astype(jnp.float32)
     if not interpret and b.dtype == jnp.float16:
         b = b.astype(jnp.float32)
+    # resident small-n regime (same rationale as TRSV's): the multi-rhs
+    # small mode turns the substitution into VMEM-resident MXU GEMMs
+    if n <= RESIDENT_N and jax.default_backend() == "tpu":
+        return _trsv_small(a, b, uplo, unit, st_out)
     block = _block_for(n)
     leaf = min(LEAF, block)
     bt = b.T.astype(jnp.float32)  # (k, n) row-panel form
