@@ -102,12 +102,18 @@ def two_prod(a, b):
     so the cut shows up directly as throughput (measured 160→~180 GF/s at
     n=2^27 on v5e)."""
     p = a * b
-    # Mosaic's tpu.bitcast requires vector operands — scalar factors (e.g.
-    # the alpha epilogue's (1,1)-ref read) take the multiply split instead
-    split_a = _split if jnp.ndim(a) == 0 else _split_mask
-    split_b = _split if jnp.ndim(b) == 0 else _split_mask
-    ah, al = split_a(a)
-    bh, bl = split_b(b)
+    # The mask split's bitcast is only safe under Mosaic for lane-aligned
+    # vector shapes: scalars are rejected outright (tpu.bitcast wants
+    # vectors) and narrow trailing dims like the epilogue's (bm, 1) fold
+    # output crash the compiler during relayout. Gate by shape; the
+    # multiply split is the universal fallback (identical EFT, 2 ops more).
+    def _sp(v):
+        if jnp.ndim(v) >= 1 and v.shape[-1] % 128 == 0:
+            return _split_mask(v)
+        return _split(v)
+
+    ah, al = _sp(a)
+    bh, bl = _sp(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, e
 

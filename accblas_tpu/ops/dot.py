@@ -76,6 +76,24 @@ def _dot_small(x, y, ar: str, precise: bool, init):
         tot = dfm.df_add(tot, dfm.df_from(jnp.float32(0.0 if init is None else init)))
         return tot.hi[0, 0], tot.lo[0, 0]
     ar_dt = dtypes.jnp_dtype(ar)
+    if ar == "f32":
+        # XLA's native dot: f32 (or wider-exact MXU) accumulation of exact
+        # products — the tier's semantics, at XLA's own lowering speed.
+        # Measured 740 GF/s for f8 operands at n=2^26 (90% of the f8 storage
+        # roofline) where every Mosaic path topped out at 74-122 GF/s (8-bit
+        # vreg unpacking); HIGHEST guards genuine-f32 operands against the
+        # TPU default's bf16 truncation, narrow operands are natively exact.
+        if x.dtype != y.dtype:
+            # mixed-storage pairs: explicit f32 upcast (jax forbids implicit
+            # float8 promotion), HIGHEST to keep the f32 side genuine
+            x, y = x.astype(jnp.float32), y.astype(jnp.float32)
+        prec = (
+            jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+        )
+        total = jnp.dot(x, y, precision=prec, preferred_element_type=jnp.float32)
+        if init is not None:
+            total = total + init
+        return total.astype(jnp.float32), jnp.float32(0.0)
     p = (x.astype(ar_dt) * y.astype(ar_dt)).astype(ar_dt)
     p2 = as_rows128(p)
     # pairwise halving tree in the arithmetic dtype (the tier's defining
@@ -236,11 +254,17 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
     in_bytes = x.shape[0] * (x.dtype.itemsize + y.dtype.itemsize)
     if resident is None:
         resident = in_bytes <= RESIDENT_BYTES and jax.default_backend() == "tpu"
-    # Mosaic has no f16 type (v5e rejects it at kernel compile) — the f16
-    # storage tier runs XLA-composed at every size on hardware; the Pallas
-    # form still serves CPU interpret mode (tests)
-    if not interpret and jnp.float16 in (x.dtype, y.dtype):
-        resident = True
+    # Mosaic has no f16 type (v5e rejects it at kernel compile), and its
+    # 8-bit vreg paths run at ~9-15% of roofline where XLA's own f8 lowering
+    # hits 90% (measured; see BENCH_NOTES) — both narrow-storage tiers run
+    # XLA-composed at every size on hardware. The Pallas forms still serve
+    # CPU interpret mode (tests). df64-over-f8 keeps the streaming Pallas
+    # kernel (the resident df64 composition materializes ~4x f32
+    # temporaries — unsafe at sweep scales).
+    narrow_st = (jnp.float16, jnp.float8_e4m3fn, jnp.float8_e5m2)
+    if not interpret and (x.dtype in narrow_st or y.dtype in narrow_st):
+        if ar != "df64" or jnp.float16 in (x.dtype, y.dtype):
+            resident = True
     if resident:
         return _dot_small(x, y, ar, precise, init)
     spec_x = ReducedRowMajor(ar, dtypes.canon(x.dtype))

@@ -328,13 +328,13 @@ def _gemv_fullrow_call(
 ):
     m, n = a.shape
     itemsize = jnp.dtype(a.dtype).itemsize
-    # VMEM budget: double-buffered row panel + x + out, keep under ~13.5 MB
-    # of the 16 MiB scoped limit (bm=32 must survive n=24576 — the sweep
-    # endpoint; the old 9 MB budget dropped it to bm=16 there, measuring
-    # 354 GF/s where bm=32 holds ~368+).
+    # VMEM budget for the DOUBLED candidate panel (the loop tests 2*bm):
+    # 12 MiB of the 16 MiB scoped default keeps bm=32 at the n=24576 sweep
+    # endpoint (measured 354 GF/s; bm=16 measured 312; the 2*bm=64 candidate
+    # there costs 25 MiB and OOMs the compiler — measured, not estimated).
     # 8-bit storage tiles at (32, 128) — its row panel floor is 32
     bm = 32 if itemsize == 1 else 8
-    while 2 * (2 * bm) * n * itemsize + n * 4 <= 27 * 2**19 and 2 * bm <= max(m, 8):
+    while 2 * (2 * bm) * n * itemsize + n * 4 <= 23 * 2**19 and 2 * bm <= max(m, 8):
         bm *= 2
     if ar == "df64":
         # the Kahan accumulators/chunk temporaries are (bm, 128)-small, so
@@ -390,11 +390,15 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
             m * n * jnp.dtype(a.dtype).itemsize <= RESIDENT_BYTES
             and jax.default_backend() == "tpu"
         )
-    # Mosaic has no f16 type (v5e rejects it at kernel compile) — the f16
-    # storage tier runs XLA-composed at every size on hardware; the Pallas
-    # form still serves CPU interpret mode (tests)
-    if not interpret and jnp.float16 in (a.dtype, x.dtype):
-        resident = True
+    # Mosaic has no f16 type (v5e rejects it at kernel compile), and its
+    # 8-bit vreg paths run far below XLA's own f8 lowering (see ops.dot /
+    # BENCH_NOTES) — narrow-storage tiers run XLA-composed at every size on
+    # hardware (the f8 MXU feed upcasts to bf16 exactly). Pallas forms still
+    # serve CPU interpret mode; df64-over-f8 keeps the streaming kernel.
+    narrow_st = (jnp.float16,) + _F8
+    if not interpret and (a.dtype in narrow_st or x.dtype in narrow_st):
+        if ar != "df64" or jnp.float16 in (a.dtype, x.dtype):
+            resident = True
     if resident:
         return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out)
 
@@ -411,6 +415,18 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
     # anyway)
     if a.dtype in _F8 and m < 32:
         return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out)
+    # ragged df64: the colform df64 kernel crashes the Mosaic compiler at
+    # non-lane-multiple n (opaque compile-helper abort, v5e); zero-pad the
+    # contraction dimension — zeros are exact no-ops for two_prod/Kahan —
+    # and take the fullrow path. The pad is an O(n^2) copy, the documented
+    # arbitrary-size cost on TPU (the CUDA reference bounds-checks per
+    # element instead; lanes are physical here).
+    if ar == "df64" and n % 128 != 0 and not interpret:
+        pad = 128 - n % 128
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        x = jnp.pad(x, (0, pad))
+        n = n + pad
+
     # the row panel must fit VMEM double-buffered even at the minimum bm
     # (8 rows; 32 for 8-bit storage whose native tile is (32, 128))
     itemsize = jnp.dtype(a.dtype).itemsize
