@@ -338,14 +338,15 @@ def _gemv_fullrow_call(
 ):
     m, n = a.shape
     itemsize = jnp.dtype(a.dtype).itemsize
-    # VMEM budget for the DOUBLED candidate panel (the loop tests 2*bm):
-    # 12 MiB of the 16 MiB scoped default keeps bm=32 at the n=24576 sweep
-    # endpoint (measured 354 GF/s; bm=16 measured 312; the 2*bm=64 candidate
-    # there costs 25 MiB and OOMs the compiler — measured, not estimated).
+    # VMEM budget for the DOUBLED candidate panel (the loop tests 2*bm),
+    # against a raised 64 MiB scoped limit (vmem_limit_bytes below; the
+    # 16 MiB default capped bm at 32 for n=24576 — bm=128 measured 377.9
+    # GF/s there vs 373.7 at bm=32, matching XLA's 377.6).
     # 8-bit storage tiles at (32, 128) — its row panel floor is 32
     bm = 32 if itemsize == 1 else 8
-    while 2 * (2 * bm) * n * itemsize + n * 4 <= 23 * 2**19 and 2 * bm <= max(m, 8):
+    while 2 * (2 * bm) * n * itemsize + n * 4 <= 7 * 2**23 and 2 * bm <= max(m, 8):
         bm *= 2
+    bm = min(bm, 128)  # beyond 128 rows the panel DMA granularity wins nothing
     if ar == "df64":
         # the Kahan accumulators/chunk temporaries are (bm, 128)-small, so
         # the double-buffered input panel is the whole budget; measured
@@ -372,7 +373,12 @@ def _gemv_fullrow_call(
         ],
         out_specs=pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, 1), dtypes.jnp_dtype(st_out)),
-        compiler_params=compiler_params(dimension_semantics=("arbitrary",)),
+        compiler_params=compiler_params(
+            dimension_semantics=("arbitrary",),
+            # raise the 16 MiB default scope: v5e VMEM is 128 MiB and the
+            # big row panels (bm=128 at n=24576 = 2x12.6 MiB) measure best
+            vmem_limit_bytes=64 * 2**20,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n, bytes_accessed=m * n * itemsize, transcendentals=0
         ),
