@@ -41,7 +41,11 @@ from .common import as_rows128, compiler_params, interpret_default, min_sublanes
 # (rows, 128) per grid step; df64 keeps smaller blocks (compensated-fold
 # temporaries live in VMEM), plain tiers use larger ones (measured +2% at 2048)
 MAX_BLOCK_ROWS = 2048
-MAX_BLOCK_ROWS_DF64 = 2048  # bigger blocks measured +6% for precise mode
+MAX_BLOCK_ROWS_DF64 = 2048  # fast mode: 2048 measured best (188.8 GF/s)
+# precise mode wants 4096-row blocks under the raised 64 MiB VMEM scope:
+# 173 -> 187.8 GF/s at n=2^27 (92% roofline — equal to fast mode; the
+# exact-two_prod tier at fixed-f32 speed), rel err unchanged at 7.4e-13
+MAX_BLOCK_ROWS_DF64_PRECISE = 4096
 DF_ROWS_ACC = 32  # Kahan chunk rows per chain
 DF_CHAINS = 2  # interleaved chains (fast mode; measured best error at 2)
 DF_CHAINS_PRECISE = 4  # shorter exact-two_sum chains: 7.4e-13 vs 2.7e-12 at 2
@@ -276,7 +280,10 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
     x2 = as_rows128(x, min_rows=st_rows)
     y2 = as_rows128(y, min_rows=st_rows)
     rows = x2.shape[0]
-    cap = MAX_BLOCK_ROWS_DF64 if ar == "df64" else MAX_BLOCK_ROWS
+    if ar == "df64":
+        cap = MAX_BLOCK_ROWS_DF64_PRECISE if precise else MAX_BLOCK_ROWS_DF64
+    else:
+        cap = MAX_BLOCK_ROWS
     # bf16 accumulators want the (16, 128) native tile; block_rows must not
     # drop below the accumulator sublane count (small-n bf16 inputs give
     # rows=8 < sub=16 — ragged masking handles rows < block_rows), nor below
@@ -329,7 +336,12 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
             pltpu.VMEM((sub, 128), acc_dt),
             pltpu.VMEM((sub, 128), acc_dt),
         ],
-        compiler_params=compiler_params(dimension_semantics=("arbitrary",)),
+        compiler_params=compiler_params(
+            dimension_semantics=("arbitrary",),
+            # v5e VMEM is 128 MiB; the 16 MiB scoped default rejects the
+            # 4096-row precise blocks (20 MiB incl. double buffering)
+            vmem_limit_bytes=64 * 2**20,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * x.shape[0],
             bytes_accessed=x.shape[0]
