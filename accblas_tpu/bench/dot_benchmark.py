@@ -39,7 +39,8 @@ import numpy as np
 from . import common
 from ..utils.bench import benchmark_function, benchmark_loop
 
-MIN_SIZE = 2**20
+MIN_SIZE = 2**14  # round 3: cover the resident regime (reference starts at 1e6,
+# cuda/dot_benchmark.cu:26; the resident-mode claims below 2^20 need CSV rows)
 DEFAULT_SIZE = 2**27
 ALIGN = 2**13
 

@@ -25,9 +25,10 @@ import numpy as np
 from . import common
 from ..utils.bench import benchmark_function, benchmark_loop
 
-MIN_SIZE = 1024
+MIN_SIZE = 128  # round 3: sweep the resident regime too (reference sweeps from n=100,
+# cuda/gemv_benchmark.cu:30); 128 = one lane tile
 DEFAULT_SIZE = 16384
-ALIGN = 1024
+ALIGN = 128
 ALPHA, BETA = 1.0, 1.0
 
 VARIANTS = [
@@ -85,7 +86,7 @@ def main():
     from ..utils.compare import relative_error
 
     seed = 42
-    sizes = common.sweep_sizes(args, MIN_SIZE, ALIGN, dense_step=ALIGN)
+    sizes = common.sweep_sizes(args, MIN_SIZE, ALIGN, dense_step=1024)
     max_n = max(sizes)
     variants = [v for v in VARIANTS if args.error or v[2] != "oracle"]
     names = [v[0] for v in variants]

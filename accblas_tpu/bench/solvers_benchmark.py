@@ -1,0 +1,141 @@
+"""Solver-tier benchmark — hardware evidence for ``models/solvers.py``.
+
+The reference has no solvers (its "application" is the kernel drivers); this
+driver measures what the accessor *buys at the application level*: CG on an
+SPD system at every (storage × dot-arithmetic) pairing, reporting
+
+- sustained iteration rate (it/s): narrow storage should approach its
+  bandwidth advantage (the matvec dominates each iteration), and
+- the achieved relative residual |b - A x| / |b| after a fixed iteration
+  budget, evaluated with a device df64 residual (storage-exact oracle): df64
+  dots must hold the recurrence at the f32-storage floor where plain-f32
+  dots drift.
+
+Timing: a jitted CG run is ONE device dispatch (the iteration loop is a
+``lax.while_loop``), but the ~25-30 ms tunnel dispatch latency is material
+against ~100 ms solves — so the rate is taken as a two-point slope,
+(t(iters_hi) - t(iters_lo)) / (iters_hi - iters_lo), min over reps, which
+cancels dispatch overhead and any fixed setup exactly (the same K-slope idea
+as utils.bench.benchmark_loop, applied at the solver-call level).
+
+CSV schema matches the kernel drivers (`;`-separated, 16 digits). Also rows
+for richardson_refine (mixed-storage preconditioning) and power_method.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from . import common
+
+ITERS_LO, ITERS_HI = 20, 120
+REPS = 5
+DEFAULT_SIZE = 8192
+MIN_SIZE = 1024
+
+
+def _spd_device(n: int, seed: int):
+    """Diagonally-dominant SPD matrix + rhs, generated on device (no tunnel
+    bulk transfer): A = I + (U + U^T) / (2n), Gershgorin-SPD."""
+    import jax
+    import jax.numpy as jnp
+
+    ku, kb = jax.random.split(jax.random.PRNGKey(seed))
+    u = jax.random.uniform(ku, (n, n), jnp.float32, -1.0, 1.0)
+    a = jnp.eye(n, dtype=jnp.float32) + (u + u.T) / (2.0 * n)
+    b = jax.random.uniform(kb, (n,), jnp.float32, -1.0, 1.0)
+    return a, b
+
+
+def _df64_residual(a32, b, x):
+    """Device df64 relative residual |b - A x| / |b| against the f32-stored
+    operator (the storage-exact oracle for the solver's own system)."""
+    import jax.numpy as jnp
+
+    from ..ops import gemv as gemvops
+    from ..ops.df64 import DF, df_to_f64
+
+    z = jnp.zeros_like(b)
+    ax = gemvops.acc_gemv(a32, x, z, 1.0, 0.0, ar="df64", precise=True)
+    r = np.asarray(b, np.float64) - np.asarray(ax, np.float64)
+    return float(np.linalg.norm(r) / np.linalg.norm(np.asarray(b, np.float64)))
+
+
+def main():
+    common.enable_compile_cache()
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import solvers
+
+    args = common.parse_args("solvers_benchmark", DEFAULT_SIZE, MIN_SIZE)
+    n = args.size
+    a32, b = _spd_device(n, seed=42)
+    ab = a32.astype(jnp.bfloat16)
+    jax.block_until_ready((a32, ab, b))
+
+    variants = [
+        ("CG f32/f32", a32, "f32"),
+        ("CG f32/df64", a32, "df64"),
+        ("CG bf16/f32", ab, "f32"),
+        ("CG bf16/df64", ab, "df64"),
+    ]
+    common.emit_header("n", [f"{name} {col}" for name, _, _ in variants
+                             for col in ("it_per_s", "resid")])
+
+    vals = []
+    for name, a, ar in variants:
+        def run(iters, a=a, ar=ar):
+            f = jax.jit(functools.partial(solvers.cg, iters=iters, ar=ar, tol=0.0))
+            out = f(a, b)
+            jax.block_until_ready(out)
+            return f, out
+
+        def timed(f, iters):
+            ts = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(a, b))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        def measure(name=name, a=a, ar=ar):
+            f_lo, _ = run(ITERS_LO)
+            f_hi, out_hi = run(ITERS_HI)
+            t_lo = timed(f_lo, ITERS_LO)
+            t_hi = timed(f_hi, ITERS_HI)
+            rate = (ITERS_HI - ITERS_LO) / max(t_hi - t_lo, 1e-9)
+            resid = _df64_residual(a32, b, out_hi[0])
+            common.progress(f"{name}: {rate:.1f} it/s, resid {resid:.3e}")
+            return rate, resid
+
+        try:
+            rate, resid = measure()
+        except Exception as e:  # noqa: BLE001 - per-variant fault isolation
+            common.progress(f"FAILED {name}: {type(e).__name__}: {str(e)[:200]}")
+            rate, resid = float("nan"), float("nan")
+        vals.extend([rate, resid])
+    common.emit_row(n, vals)
+
+    # the two other solver demos: one line each on stderr (their value is the
+    # convergence property, asserted in tests; here just hardware liveness +
+    # rates at the same size)
+    x, rhist = jax.jit(
+        functools.partial(solvers.richardson_refine, iters=6, ar="df64")
+    )(ab, a32, b)
+    jax.block_until_ready((x, rhist))
+    common.progress(
+        f"richardson bf16-precond/f32-residual: |r|^2 {float(rhist[-1]):.3e} after 6 iters"
+    )
+    xv, lam = jax.jit(functools.partial(solvers.power_method, iters=15, ar="f32"))(a32)
+    jax.block_until_ready((xv, lam))
+    common.progress(f"power_method lambda_max ~= {float(lam):.6f}")
+
+
+if __name__ == "__main__":
+    main()

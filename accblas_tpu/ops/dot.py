@@ -256,7 +256,8 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
     if interpret is None:
         interpret = interpret_default()
     in_bytes = x.shape[0] * (x.dtype.itemsize + y.dtype.itemsize)
-    if resident is None:
+    auto_resident = resident is None
+    if auto_resident:
         resident = in_bytes <= RESIDENT_BYTES and jax.default_backend() == "tpu"
     # Mosaic has no f16 type (v5e rejects it at kernel compile), and its
     # 8-bit vreg paths run at ~9-15% of roofline where XLA's own f8 lowering
@@ -268,6 +269,13 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
     narrow_st = (jnp.float16, jnp.float8_e4m3fn, jnp.float8_e5m2)
     if not interpret and (x.dtype in narrow_st or y.dtype in narrow_st):
         if ar != "df64" or jnp.float16 in (x.dtype, y.dtype):
+            if not auto_resident and not resident:
+                raise NotImplementedError(
+                    "dot: the streaming Pallas kernel cannot serve "
+                    f"{x.dtype}/{y.dtype} storage on TPU hardware (Mosaic has "
+                    "no f16 type and its 8-bit paths run far below XLA's own "
+                    "lowering); drop resident=False or use interpret=True"
+                )
             resident = True
     if resident:
         return _dot_small(x, y, ar, precise, init)

@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accessor import dtypes
+from ..accessor.range import Range, ReducedRowMajor
 from . import df64 as dfm
 from .common import compiler_params, interpret_default, pow2_ceil
 
@@ -52,11 +53,14 @@ _NARROW = (jnp.bfloat16, jnp.float16)
 def _mxu_operands(av_raw, xv, ar: str):
     """Pick MXU operand dtypes + precision for the cast-on-load contraction.
 
-    - same-dtype narrow (bf16/f16) pairs under f32 arithmetic: feed the MXU
-      raw — the systolic array upcasts exactly (zero extra ops).
-    - f8 storage under f32 arithmetic: upcast to bf16, which is EXACT for
-      both e4m3 (4-bit exp ⊂ 8, 3-bit mant ⊂ 7) and e5m2, then native-MXU
-      multiply — avoids the 3-pass HIGHEST f32 contraction entirely.
+    - same-dtype narrow (bf16/f16/f8) pairs under f32 arithmetic: feed the
+      MXU raw — the systolic array upcasts exactly (zero extra ops). For f8
+      this matters doubly: materializing a bf16 copy of the n² matrix costs
+      1 read + 2 write + 2 re-read bytes/elem against the raw feed's 1
+      (round-2 measured 1042 GF/s = 64% of the f8 roofline via the bf16
+      copy; ops.dot's raw f8 feed reaches 91% — route GEMV identically).
+    - mixed narrow pairs (e4m3 × bf16 etc.): upcast the f8 side to bf16,
+      which is EXACT for both e4m3 (4-bit exp ⊂ 8, 3-bit mant ⊂ 7) and e5m2.
     - f32 operands: HIGHEST (the TPU default truncates f32 dot operands to
       bf16, which would falsify the f32 tier's label).
 
@@ -65,7 +69,7 @@ def _mxu_operands(av_raw, xv, ar: str):
     """
     ar_dt = dtypes.jnp_dtype(ar)
     if ar == "f32":
-        if av_raw.dtype == xv.dtype and av_raw.dtype in _NARROW:
+        if av_raw.dtype == xv.dtype and av_raw.dtype in _NARROW + _F8:
             return av_raw, xv, "native"
         # f16 excluded here: f16 -> bf16 drops mantissa bits (10 > 7)
         if av_raw.dtype in _F8 + (jnp.bfloat16,) and xv.dtype in _F8 + (jnp.bfloat16,):
@@ -111,7 +115,15 @@ def _gemv_small(a, x, res, alpha, beta, ar: str, precise: bool, st_out: str):
         return dfm.df_to_f32(out).astype(dtypes.jnp_dtype(st_out))
     ar_dt = dtypes.jnp_dtype(ar)
     av, xa, prec = _mxu_operands(a, x, ar)
-    if prec == "native":
+    if prec == "native" and av.dtype in _F8:
+        # XLA's f8 *matvec* emitter stalls at 1041 GF/s (64% of the f8
+        # roofline) while its f8 GEMM emitter streams A natively: embed x as
+        # column 0 of an (n, 8) zero block so the (m, 8) output engages the
+        # GEMM path — measured 1356 GF/s at 24576² (probe_r3b G; the extra
+        # columns are exact zeros, the x/out padding is O(n) traffic)
+        x2 = jnp.zeros((xa.shape[0], 8), av.dtype).at[:, 0].set(xa)
+        val = jnp.matmul(av, x2, preferred_element_type=jnp.float32)[:, 0]
+    elif prec == "native":
         val = jnp.matmul(av, xa, preferred_element_type=jnp.float32)
     else:
         val = jnp.matmul(
@@ -137,6 +149,9 @@ def _gemv_kernel(
     bn: int,
     n_steps_j: int,
     precise: bool,
+    spec_a: ReducedRowMajor,
+    spec_x: ReducedRowMajor,
+    spec_out: ReducedRowMajor,
 ):
     j = pl.program_id(1)
     ragged_n = n_total % bn != 0
@@ -147,8 +162,15 @@ def _gemv_kernel(
         if acc_lo is not None:
             acc_lo[...] = jnp.zeros_like(acc_lo)
 
-    xv = x_ref[...]  # df64: (1, BN) row; MXU paths: (BN, 1) column
-    av_raw = a_ref[...]
+    # kernel body written against ranges (reference acc_gemv pattern,
+    # cuda/gemv_kernels.cuh:79-113); raw loads feed the MXU/df64-carrier
+    # cast-on-load (Range.load_raw docstring — same semantics, zero extra
+    # bandwidth), the store casts back to the output's storage type
+    ra = Range(spec_a, a_ref, const=True)
+    rx = Range(spec_x, x_ref, const=True)
+    ro = Range(spec_out, o_ref)
+    xv = rx.load_raw()  # df64: (1, BN) row; MXU paths: (BN, 1) column
+    av_raw = ra.load_raw()
     if ragged_n:
         # out-of-bounds tail blocks read unspecified values (possibly NaN/inf,
         # which would poison the contraction even against masked-zero x) —
@@ -205,7 +227,6 @@ def _gemv_kernel(
     def _finish():
         alpha = alpha_ref[0, 0]
         beta = beta_ref[0, 0]
-        st_dt = dtypes.jnp_dtype(st_out)
         if ar == "df64":
             total = dfm.df_fold_lanes(dfm.DF(acc_hi[...], acc_lo[...]), 1)  # (BM, 1)
             val = dfm.df_mul_f32(total, alpha)
@@ -217,7 +238,7 @@ def _gemv_kernel(
                 r_ref[...].astype(jnp.float32) * beta,
             )
             out = dfm.df_add(val, dfm.df_from(rv))
-            o_ref[...] = dfm.df_to_f32(out).astype(st_dt)
+            ro.store(out)  # cast-on-store: DF -> st_out
         else:
             ar_dt = dtypes.jnp_dtype(ar)
             val = acc_hi[...].astype(jnp.float32) * alpha
@@ -226,18 +247,42 @@ def _gemv_kernel(
                 jnp.zeros_like(r_ref[...], jnp.float32),
                 r_ref[...].astype(jnp.float32) * beta,
             )
-            o_ref[...] = (val + rv).astype(ar_dt).astype(st_dt)
+            # tier rounding to `ar` first, then the accessor store-cast
+            ro.store((val + rv).astype(ar_dt))
 
 
-def _chunk_prod(a_ref, x_ref, k0: int, precise: bool):
-    """Product of the k0-th 128-lane chunk of the row panel against x.
+def _chunk_prod(ra: Range, rx: Range, k0: int, precise: bool):
+    """Product of the k0-th 128-lane chunk of the row-panel ranges.
 
-    Reads storage-typed chunks and casts on load (accessor semantics).
+    Range raw loads + f32-carrier cast (accessor cast-on-load, the
+    ops.dot df64 pattern — exact for every supported storage type).
     precise=True returns the exact two_prod low words as a side channel
     (their f32 accumulation error is O(eps^2) — negligible).
     """
-    av = a_ref[:, k0 * 128 : (k0 + 1) * 128].astype(jnp.float32)
-    xv = x_ref[:, k0 * 128 : (k0 + 1) * 128].astype(jnp.float32)
+    sl = (slice(None), slice(k0 * 128, (k0 + 1) * 128))
+    av = ra.load_raw(sl).astype(jnp.float32)
+    xv = rx.load_raw(sl).astype(jnp.float32)
+    if precise:
+        return dfm.two_prod(av, xv)
+    return av * xv, None
+
+
+def _tail_prod(ra: Range, rx: Range, n: int, precise: bool):
+    """Masked product of the ragged tail columns [n//128*128, n).
+
+    Zero-copy arbitrary-size support (the CUDA reference bounds-checks per
+    element, ``cuda/dot_benchmark.cu:169``; lanes are physical here): the
+    tail rides an OVERLAPPING last-128-lane window [n-128, n) — every load
+    stays 128 wide and inside the array, and the columns already covered by
+    the full chunks are masked to zero (exact no-ops for both the plain
+    product and two_prod). Replaces the round-2 O(m·n) host-side pad copy.
+    Requires n >= 128 (smaller operands are VMEM-resident anyway)."""
+    rtail = n % 128
+    sl = (slice(None), slice(n - 128, n))
+    av = ra.load_raw(sl).astype(jnp.float32)
+    xv = rx.load_raw(sl).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, av.shape, 1)
+    av = jnp.where(lane >= 128 - rtail, av, 0.0)
     if precise:
         return dfm.two_prod(av, xv)
     return av * xv, None
@@ -255,11 +300,20 @@ def _gemv_fullrow_kernel(
     st_out: str,
     ar: str = "f32",
     precise: bool = False,
+    spec_a: ReducedRowMajor,
+    spec_x: ReducedRowMajor,
+    spec_out: ReducedRowMajor,
 ):
     # one full row panel per grid step (the DOT-like 1-D structure): VPU
     # multiply + pairwise chunk fold; no cross-step carry, no MXU passes.
     # Measured 91% of HBM roofline for f32 at 16384^2 (vs 60% for the
-    # HIGHEST-precision MXU form).
+    # HIGHEST-precision MXU form). The body is written against ranges
+    # (reference acc_gemv, cuda/gemv_kernels.cuh:79-113): chunk loads go
+    # through Range.load_raw + f32-carrier cast, the store through the
+    # accessor's cast-on-store.
+    ra = Range(spec_a, a_ref, const=True)
+    rx = Range(spec_x, x_ref, const=True)
+    ro = Range(spec_out, o_ref)
     bm = a_ref.shape[0]
     alpha = alpha_ref[0, 0]
     beta = beta_ref[0, 0]
@@ -285,20 +339,29 @@ def _gemv_fullrow_kernel(
         ss, cs = [], []
         e_acc = None
         for ch in range(chains):
-            p0, e0 = _chunk_prod(a_ref, x_ref, ch, precise)
+            p0, e0 = _chunk_prod(ra, rx, ch, precise)
             ss.append(p0)
             cs.append(jnp.zeros_like(p0))
             if e0 is not None:
                 e_acc = e0 if e_acc is None else e_acc + e0
         for k0 in range(chains, k):
             ch = k0 % chains
-            p, e = _chunk_prod(a_ref, x_ref, k0, precise)
+            p, e = _chunk_prod(ra, rx, k0, precise)
             if e is not None:
                 e_acc = e_acc + e
             y = p - cs[ch]
             t = ss[ch] + y
             cs[ch] = (t - ss[ch]) - y
             ss[ch] = t
+        if n % 128:
+            # ragged tail via the overlapping masked window (zero-copy)
+            p, e = _tail_prod(ra, rx, n, precise)
+            if e is not None:
+                e_acc = e_acc + e
+            y = p - cs[0]
+            t = ss[0] + y
+            cs[0] = (t - ss[0]) - y
+            ss[0] = t
         # combine chains exactly; the final Kahan residual is -c
         tot = dfm.DF(ss[0], -cs[0])
         for ch in range(1, chains):
@@ -307,7 +370,7 @@ def _gemv_fullrow_kernel(
             tot = dfm.df_add(tot, dfm.DF(e_acc, jnp.zeros_like(e_acc)))
         total = dfm.df_fold_lanes(tot, 1)  # DF (bm, 1)
         out = dfm.df_add(dfm.df_mul_f32(total, alpha), dfm.df_from(rv))
-        o_ref[...] = dfm.df_to_f32(out).astype(dtypes.jnp_dtype(st_out))
+        ro.store(out)  # cast-on-store: DF -> st_out
         return
     # chunk-sequential accumulation over 128-lane chunks, reading each chunk
     # straight off the storage panel — measured 376 GF/s at 24576 in the
@@ -317,12 +380,15 @@ def _gemv_fullrow_kernel(
     chains = min(2, k)
     ss = []
     for ch in range(chains):
-        p0, _ = _chunk_prod(a_ref, x_ref, ch, False)
+        p0, _ = _chunk_prod(ra, rx, ch, False)
         ss.append(p0)
     for k0 in range(chains, k):
         ch = k0 % chains
-        p, _ = _chunk_prod(a_ref, x_ref, k0, False)
+        p, _ = _chunk_prod(ra, rx, k0, False)
         ss[ch] = ss[ch] + p
+    if n % 128:
+        p, _ = _tail_prod(ra, rx, n, False)
+        ss[0] = ss[0] + p
     s = ss[0]
     for ch in range(1, chains):
         s = s + ss[ch]
@@ -330,7 +396,7 @@ def _gemv_fullrow_kernel(
     while w > 1:
         w //= 2
         s = s[:, :w] + s[:, w : 2 * w]
-    o_ref[...] = (s * alpha + rv).astype(dtypes.jnp_dtype(st_out))
+    ro.store(s * alpha + rv)
 
 
 def _gemv_fullrow_call(
@@ -361,7 +427,10 @@ def _gemv_fullrow_call(
     grid = (pl.cdiv(m, bm),)
     out = pl.pallas_call(
         functools.partial(
-            _gemv_fullrow_kernel, n=n, st_out=st_out, ar=ar, precise=precise
+            _gemv_fullrow_kernel, n=n, st_out=st_out, ar=ar, precise=precise,
+            spec_a=ReducedRowMajor(ar, dtypes.canon(a.dtype)),
+            spec_x=ReducedRowMajor(ar, dtypes.canon(x.dtype)),
+            spec_out=ReducedRowMajor(ar, st_out),
         ),
         grid=grid,
         in_specs=[
@@ -401,7 +470,8 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
         interpret = interpret_default()
     st_out = dtypes.canon(res.dtype)
 
-    if resident is None:
+    auto_resident = resident is None
+    if auto_resident:
         resident = (
             m * n * jnp.dtype(a.dtype).itemsize <= RESIDENT_BYTES
             and jax.default_backend() == "tpu"
@@ -409,11 +479,18 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
     # Mosaic has no f16 type (v5e rejects it at kernel compile), and its
     # 8-bit vreg paths run far below XLA's own f8 lowering (see ops.dot /
     # BENCH_NOTES) — narrow-storage tiers run XLA-composed at every size on
-    # hardware (the f8 MXU feed upcasts to bf16 exactly). Pallas forms still
+    # hardware (same-dtype f8 pairs feed the MXU raw). Pallas forms still
     # serve CPU interpret mode; df64-over-f8 keeps the streaming kernel.
     narrow_st = (jnp.float16,) + _F8
     if not interpret and (a.dtype in narrow_st or x.dtype in narrow_st):
         if ar != "df64" or jnp.float16 in (a.dtype, x.dtype):
+            if not auto_resident and not resident:
+                raise NotImplementedError(
+                    "gemv: the streaming Pallas kernel cannot serve "
+                    f"{a.dtype}/{x.dtype} storage on TPU hardware (Mosaic has "
+                    "no f16 type and its 8-bit paths run far below XLA's own "
+                    "lowering); drop resident=False or use interpret=True"
+                )
             resident = True
     if resident:
         return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out)
@@ -431,13 +508,12 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
     # anyway)
     if a.dtype in _F8 and m < 32:
         return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out)
-    # ragged df64: the colform df64 kernel crashes the Mosaic compiler at
-    # non-lane-multiple n (opaque compile-helper abort, v5e); zero-pad the
-    # contraction dimension — zeros are exact no-ops for two_prod/Kahan —
-    # and take the fullrow path. The pad is an O(n^2) copy, the documented
-    # arbitrary-size cost on TPU (the CUDA reference bounds-checks per
-    # element instead; lanes are physical here).
-    if ar == "df64" and n % 128 != 0 and not interpret:
+    itemsize = jnp.dtype(a.dtype).itemsize
+    # ragged n rides the fullrow kernel's overlapping masked tail window
+    # (zero-copy, see _tail_prod — replaces round 2's O(m·n) pad copy).
+    # 8-bit storage keeps the pad fallback: the tail's unaligned slice sits
+    # outside Mosaic's (32, 128) 8-bit tile support.
+    if ar == "df64" and itemsize == 1 and n % 128 != 0 and not interpret:
         pad = 128 - n % 128
         a = jnp.pad(a, ((0, 0), (0, pad)))
         x = jnp.pad(x, (0, pad))
@@ -445,9 +521,9 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
 
     # the row panel must fit VMEM double-buffered even at the minimum bm
     # (8 rows; 32 for 8-bit storage whose native tile is (32, 128))
-    itemsize = jnp.dtype(a.dtype).itemsize
     min_bm = 32 if itemsize == 1 else 8
-    if fullrow_ok and n % 128 == 0 and 2 * min_bm * n * itemsize <= 8 * 2**20:
+    ragged_ok = n % 128 == 0 or (n >= 128 and itemsize > 1)
+    if fullrow_ok and ragged_ok and 2 * min_bm * n * itemsize <= 8 * 2**20:
         return _gemv_fullrow_call(
             a, x, res, alpha, beta, interpret, st_out, ar=ar, precise=precise
         )
@@ -476,6 +552,9 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
         bn=bn,
         n_steps_j=grid[1],
         precise=precise,
+        spec_a=ReducedRowMajor(ar, dtypes.canon(a.dtype)),
+        spec_x=ReducedRowMajor(ar, dtypes.canon(x.dtype)),
+        spec_out=ReducedRowMajor(ar, st_out),
     )
     if ar == "df64":
         scratch = [pltpu.VMEM(acc_shape, acc_dt), pltpu.VMEM(acc_shape, acc_dt)]

@@ -34,9 +34,14 @@ structure:
 
 The accessor tier (``acc_trsv``, reference ``cuda/trsv_kernels.cuh:918-961``)
 decouples storage (bf16/f32) from arithmetic: cast-on-load feeds the f32 MXU
-path; ar='df64' adds one step of mixed-precision iterative refinement (the
-TPU-idiomatic equivalent of running the recurrence in fp64 registers — the
-residual is computed with df64-exact dot products via ``tri_gemv``).
+path. ar='df64' runs the SAME one-pass sweep with the solved panels and the
+correction accumulator carried as double-float (hi, lo) VMEM pairs — the
+TPU-native equivalent of the reference holding shared memory in the
+*arithmetic* type (``cuda/trsv_kernels.cuh:546,744``, ``ar_type`` shared
+memory), so Acc<df64,f32> streams the triangle exactly once and runs at
+storage speed. (In the VMEM-resident small-n regime the df64 tier instead
+uses one step of iterative refinement with a df64-exact residual — there the
+f32 solves are compiler-resident and the extra pass is cheap.)
 
 ``cublas_trsv`` (``cuda/trsv_kernels.cuh:964-1008``) maps to `xla_trsv`
 (XLA's native TriangularSolve, which reads the wanted triangle of a full
@@ -46,6 +51,7 @@ matrix exactly like cuBLAS).
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -53,16 +59,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accessor import dtypes
+from ..accessor.range import Range, ReducedRowMajor
+from . import df64 as dfm
 from .common import compiler_params, interpret_default
 
 # block size: balances per-step overhead against DMA granularity (measured on
 # v5e at n=16384: 512 -> 278 GFLOP/s vs 256 -> 186)
 BLOCK = 512
+# single-rhs sweeps go bigger under the 64 MiB VMEM scope (round-3 probe,
+# scripts/probe_r3b.py: at 24576 f32 350 vs 306, df64 314 vs 273 GF/s; TRSM
+# panels prefer 512 — 21.5 vs 19.6 TF/s — their MXU work already fills the
+# step, and the wider block halves the rhs-group VMEM budget)
+BLOCK_VEC = 1024
 # leaf size for the two-level diagonal solve: only leaf x leaf diagonal
 # sub-blocks are inverted in phase 1 (B/leaf fewer flops than inverting the
 # full diagonal block: 33 Mflop vs 2.1 Gflop at n=16384), and the kernel
 # substitutes through the diagonal block with leaf-granular MXU dots
 LEAF = 64
+
+# beyond this n the bf16-storage recurrence error reaches the percent range
+# on LU-factor triangles (measured: 3.1e-2 at n=1024 rising to 0.95 at 24576,
+# bench_results/trsv_error.csv) — the tier is throughput-only there
+BF16_STABLE_N = 1024
 
 
 def _extract_leaf_diag(a, nb: int, block: int, leaf: int, interpret):
@@ -118,20 +136,40 @@ def _leaf_inverses(a, nb: int, block: int, leaf: int, lower: bool, unit: bool, i
     return inv.transpose(0, 2, 1).reshape(nb, block // leaf, leaf, leaf)
 
 
+def _dot_t(x, blk, precision):
+    """x (k, B) · blk(B', B)^T -> (k, B') f32 on the MXU."""
+    return jax.lax.dot_general(
+        x,
+        blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _trsv_kernel(
     ij_ref,
     a_ref,
     invt_ref,
     b_ref,
     x_out_ref,
-    x_scr,
-    corr,
-    *,
+    *scratch,
     nb: int,
     lower: bool,
     leaf: int,
-    st_out: str,
+    ar: str,
+    spec_a: ReducedRowMajor,
+    spec_b: ReducedRowMajor,
+    spec_out: ReducedRowMajor,
 ):
+    df = ar == "df64"
+    if df:
+        x_hi, x_lo, corr_hi, corr_lo = scratch
+    else:
+        (x_scr, corr_hi) = scratch
     t = pl.program_id(0)
     i = ij_ref[0, t]
     j = ij_ref[1, t]
@@ -142,23 +180,43 @@ def _trsv_kernel(
 
     @pl.when(j == 0)
     def _reset():
-        corr[...] = jnp.zeros_like(corr)
+        corr_hi[...] = jnp.zeros_like(corr_hi)
+        if df:
+            corr_lo[...] = jnp.zeros_like(corr_lo)
 
-    a_blk = a_ref[...].astype(jnp.float32)  # cast-on-load (accessor semantics)
+    # accessor cast-on-load: the kernel body is written against ranges
+    # (reference pattern cuda/trsv_kernels.cuh:527-692 — one kernel, range
+    # args). For df64 arithmetic the raw load feeds the f32 carrier of the
+    # DF value (exact for f32/bf16 storage), as ops.dot does.
+    ra = Range(spec_a, a_ref, const=True)
+    rb = Range(spec_b, b_ref, const=True)
+    ro = Range(spec_out, x_out_ref)
+    if df:
+        a_blk = ra.load_raw().astype(jnp.float32)
+    else:
+        a_blk = ra.load()
 
     @pl.when(j < i)
     def _update():
         # correction += x[bj] · A(bi, bj)^T  — the "consume published block
         # columns" step (cuda/trsv_kernels.cuh:184-199); the solved block
         # rides as a (k, B) row-panel so nrhs > 1 turns this into an MXU GEMM
-        x_row = x_scr[bj]  # (k, B) solved block
-        corr[...] = corr[...] + jax.lax.dot_general(
-            x_row,
-            a_blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if df:
+            # df64 carry (the reference's ar_type shared memory,
+            # cuda/trsv_kernels.cuh:546,744): hi·A needs genuine f32 (HIGHEST
+            # — the TPU default truncates f32 MXU operands to bf16); lo·A is
+            # 2^-24 down, so the default-precision single pass is already
+            # below the f32 product floor. Both partials fold into the DF
+            # accumulator with exact two_sum capture.
+            t_hi = _dot_t(x_hi[bj], a_blk, _HI)
+            t_lo = _dot_t(x_lo[bj], a_blk, None)
+            acc = dfm.DF(corr_hi[...], corr_lo[...])
+            acc = dfm.df_add(acc, dfm.df_from(t_hi))
+            acc = dfm.df_add(acc, dfm.df_from(t_lo))
+            corr_hi[...] = acc.hi
+            corr_lo[...] = acc.lo
+        else:
+            corr_hi[...] = corr_hi[...] + _dot_t(x_scr[bj], a_blk, _HI)
 
     @pl.when(j == i)
     def _solve():
@@ -166,32 +224,54 @@ def _trsv_kernel(
         # cuda/trsv_kernels.cuh:212-228): substitute through the diagonal
         # block at leaf granularity using the pre-inverted leaf blocks —
         # the a_blk slices are static, the dots ride the MXU
-        rhs = b_ref[0].astype(jnp.float32) - corr[...]
         nleaf = a_blk.shape[0] // leaf
         order = range(nleaf) if lower else range(nleaf - 1, -1, -1)
         xs = [None] * nleaf
-        for s in order:
-            r_s = rhs[:, s * leaf : (s + 1) * leaf]
-            deps = range(s) if lower else range(s + 1, nleaf)
-            for t2 in deps:
-                d_st = a_blk[s * leaf : (s + 1) * leaf, t2 * leaf : (t2 + 1) * leaf]
-                r_s = r_s - jax.lax.dot_general(
-                    xs[t2],
-                    d_st,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+        if df:
+            b_val = rb.load_raw()[0].astype(jnp.float32)
+            rhs = dfm.df_sub(dfm.df_from(b_val), dfm.DF(corr_hi[...], corr_lo[...]))
+            for s in order:
+                r_s = rhs[:, s * leaf : (s + 1) * leaf]
+                deps = range(s) if lower else range(s + 1, nleaf)
+                for t2 in deps:
+                    d_st = a_blk[s * leaf : (s + 1) * leaf, t2 * leaf : (t2 + 1) * leaf]
+                    r_s = dfm.df_add(r_s, dfm.df_from(-_dot_t(xs[t2].hi, d_st, _HI)))
+                    r_s = dfm.df_add(r_s, dfm.df_from(-_dot_t(xs[t2].lo, d_st, None)))
+                inv_s = invt_ref[0, s]
+                v_hi = jax.lax.dot_general(
+                    r_s.hi, inv_s, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
                 )
-            xs[s] = jax.lax.dot_general(
-                r_s,
-                invt_ref[0, s],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                v_lo = jax.lax.dot_general(
+                    r_s.lo, inv_s, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                xs[s] = dfm.df_add(dfm.df_from(v_hi), dfm.df_from(v_lo))
+            x_row = dfm.DF(
+                jnp.concatenate([v.hi for v in xs], axis=1),
+                jnp.concatenate([v.lo for v in xs], axis=1),
             )
-        x_row = jnp.concatenate(xs, axis=1)
-        x_scr[bi] = x_row  # publish (threadfence+flag analogue)
-        x_out_ref[0] = x_row.astype(dtypes.jnp_dtype(st_out))
+            x_hi[bi] = x_row.hi  # publish (threadfence+flag analogue)
+            x_lo[bi] = x_row.lo
+        else:
+            rhs = rb.load()[0] - corr_hi[...]
+            for s in order:
+                r_s = rhs[:, s * leaf : (s + 1) * leaf]
+                deps = range(s) if lower else range(s + 1, nleaf)
+                for t2 in deps:
+                    d_st = a_blk[s * leaf : (s + 1) * leaf, t2 * leaf : (t2 + 1) * leaf]
+                    r_s = r_s - _dot_t(xs[t2], d_st, _HI)
+                xs[s] = jax.lax.dot_general(
+                    r_s,
+                    invt_ref[0, s],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_HI,
+                )
+            x_row = jnp.concatenate(xs, axis=1)
+            x_scr[bi] = x_row  # publish (threadfence+flag analogue)
+        # accessor cast-on-store (DF values round hi+lo to storage)
+        ro.store(x_row, idx=0)
 
 
 def _tri_pairs(nb: int, lower: bool):
@@ -206,9 +286,12 @@ def _tri_pairs(nb: int, lower: bool):
 
 
 def _trsv_sweep(a, invt, b2, nb: int, block: int, lower: bool, st_out: str, interpret,
-                leaf: int = LEAF, nrhs: int = 1):
+                leaf: int = LEAF, nrhs: int = 1, ar: str = "f32"):
     steps = nb * (nb + 1) // 2
     ij = _tri_pairs(nb, lower)
+    df = ar == "df64"
+    st_a = dtypes.canon(a.dtype)
+    st_b = dtypes.canon(b2.dtype)
 
     def a_index(t, ij_ref):
         i = ij_ref[0, t]
@@ -222,8 +305,27 @@ def _trsv_sweep(a, invt, b2, nb: int, block: int, lower: bool, st_out: str, inte
         return (i, 0, 0) if lower else (nb - 1 - i, 0, 0)
 
     kernel = functools.partial(
-        _trsv_kernel, nb=nb, lower=lower, leaf=leaf, st_out=st_out
+        _trsv_kernel,
+        nb=nb,
+        lower=lower,
+        leaf=leaf,
+        ar=ar,
+        spec_a=ReducedRowMajor(ar, st_a),
+        spec_b=ReducedRowMajor(ar, st_b),
+        spec_out=ReducedRowMajor(ar, st_out),
     )
+    if df:
+        scratch_shapes = [
+            pltpu.VMEM((nb, nrhs, block), jnp.float32),  # solved x hi
+            pltpu.VMEM((nb, nrhs, block), jnp.float32),  # solved x lo
+            pltpu.VMEM((nrhs, block), jnp.float32),  # correction hi
+            pltpu.VMEM((nrhs, block), jnp.float32),  # correction lo
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((nb, nrhs, block), jnp.float32),  # solved x panels
+            pltpu.VMEM((nrhs, block), jnp.float32),  # correction accumulator
+        ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -241,13 +343,15 @@ def _trsv_sweep(a, invt, b2, nb: int, block: int, lower: bool, st_out: str, inte
                 pl.BlockSpec((1, nrhs, block), row_index, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, nrhs, block), row_index, memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((nb, nrhs, block), jnp.float32),  # solved x panels
-                pltpu.VMEM((nrhs, block), jnp.float32),  # correction accumulator
-            ],
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=jax.ShapeDtypeStruct((nb, nrhs, block), dtypes.jnp_dtype(st_out)),
-        compiler_params=compiler_params(dimension_semantics=("arbitrary",)),
+        compiler_params=compiler_params(
+            dimension_semantics=("arbitrary",),
+            # v5e VMEM is 128 MiB; the 16 MiB scoped default caps the df64
+            # TRSM scratch pairs and the BLOCK=1024 probe
+            vmem_limit_bytes=64 * 2**20,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=nb * (nb + 1) * block * block * nrhs,
             bytes_accessed=(nb * (nb + 1) // 2) * block * block * 4,
@@ -276,8 +380,9 @@ def _pad_packed(a, bt, block: int):
     return a, bt, nb, npad
 
 
-# VMEM budget for the solved-x scratch (nb * nrhs * block * 4 bytes): split
-# wide right-hand-side panels into groups no bigger than this
+# VMEM budget for the solved-x scratch (nb * nrhs * block * 4 bytes per
+# carried panel; df64 carries hi+lo pairs): split wide right-hand-side
+# panels into groups no bigger than this
 _TRSM_SCR_BYTES = 6 * 2**20
 
 # below this n the f32 matrix fits VMEM and XLA keeps it resident across
@@ -354,25 +459,41 @@ def _block_for(n: int) -> int:
     return 128
 
 
-def _trsv_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=None):
+def _use_small(n: int, interpret, resident, ar: str) -> bool:
+    """Resident-mode gate: honor an explicit resident flag; auto only on a
+    TPU backend with no explicit interpret request (advisor round-2: an
+    explicit resident=False or interpret=True must reach the sweep)."""
+    if ar != "f32":
+        return False
+    if resident is True:
+        return True
+    if resident is False or interpret is not None:
+        return False
+    return n <= RESIDENT_N and jax.default_backend() == "tpu"
+
+
+def _trsv_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=None,
+               ar: str = "f32"):
     n = a.shape[0]
     if a.shape != (n, n) or b.shape != (n,):
         raise ValueError(f"trsv needs square A and matching b, got {a.shape}, {b.shape}")
-    if resident is None:
-        resident = n <= RESIDENT_N and jax.default_backend() == "tpu"
-    if resident:
-        return _trsv_small(a, b, uplo, unit, st_out)
-    x = _trsm_impl(a, b.reshape(n, 1), uplo, unit, interpret, st_out)
+    x = _trsm_impl(a, b.reshape(n, 1), uplo, unit, interpret, st_out,
+                   resident=resident, ar=ar)
     return x.reshape(n)
 
 
-def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str):
+def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=None,
+               ar: str = "f32"):
     """Solve T X = B for B of shape (n, k); returns X (n, k)."""
     n = a.shape[0]
     k = b.shape[1]
     if a.shape != (n, n) or b.shape[0] != n:
         raise ValueError(f"trsm needs square A and (n, k) B, got {a.shape}, {b.shape}")
     lower = uplo == "lower"
+    # resident small-n regime (f32 arithmetic only): the multi-rhs small mode
+    # turns the substitution into VMEM-resident MXU GEMMs
+    if _use_small(n, interpret, resident, ar):
+        return _trsv_small(a, b, uplo, unit, st_out)
     if interpret is None:
         interpret = interpret_default()
     # Mosaic has no f16 type: upcast f16 storage to f32 before the kernel on
@@ -382,19 +503,18 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str):
         a = a.astype(jnp.float32)
     if not interpret and b.dtype == jnp.float16:
         b = b.astype(jnp.float32)
-    # resident small-n regime (same rationale as TRSV's): the multi-rhs
-    # small mode turns the substitution into VMEM-resident MXU GEMMs
-    if n <= RESIDENT_N and jax.default_backend() == "tpu":
-        return _trsv_small(a, b, uplo, unit, st_out)
     block = _block_for(n)
+    if k == 1 and n >= 4 * BLOCK_VEC:
+        block = BLOCK_VEC
     leaf = min(LEAF, block)
     bt = b.T.astype(jnp.float32)  # (k, n) row-panel form
     a_p, bt_p, nb, npad = _pad_packed(a, bt, block)
     invt = _leaf_inverses(a_p, nb, block, leaf, lower, unit, interpret)
 
     # rhs panels padded to a sublane multiple; wide panels split into groups
-    # bounded by the solved-x scratch budget
-    group = max(8, min(128, _TRSM_SCR_BYTES // (4 * npad) // 8 * 8))
+    # bounded by the solved-x scratch budget (df64 carries hi+lo pairs)
+    per_rhs = 4 * npad * (2 if ar == "df64" else 1)
+    group = max(8, min(128, _TRSM_SCR_BYTES // per_rhs // 8 * 8))
     outs = []
     for g0 in range(0, k, group):
         gk = min(group, k - g0)
@@ -405,11 +525,30 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str):
         b2 = bt_g.reshape(gk_pad, nb, block).transpose(1, 0, 2)
         x = _trsv_sweep(
             a_p, invt, b2, nb, block, lower, st_out, interpret,
-            leaf=leaf, nrhs=gk_pad,
+            leaf=leaf, nrhs=gk_pad, ar=ar,
         )  # (nb, gk_pad, block)
         xt = x.transpose(1, 0, 2).reshape(gk_pad, npad)
         outs.append(xt[:gk, :n])
     return jnp.concatenate(outs, 0).T  # (n, k)
+
+
+def _check_bf16_envelope(a, n: int, ar: str, unstable_ok: bool, op: str):
+    """The bf16-storage tier's recurrence error reaches O(1) on LU-factor
+    triangles beyond ~1024 rows (trsv_error.csv: 3e-2 @1024 → 0.95 @24576).
+    Warn at trace time unless the caller opted in — the tier remains useful
+    as a throughput/storage demonstration and for well-conditioned or
+    diagonally-dominant triangles."""
+    if unstable_ok or ar == "df64":
+        return
+    if dtypes.canon(a.dtype) == "bf16" and n > BF16_STABLE_N:
+        warnings.warn(
+            f"{op} on a bf16-storage triangle with n={n} > {BF16_STABLE_N}: "
+            "the substitution recurrence amplifies the bf16 storage rounding "
+            "(measured up to O(1) relative error on LU factors at n=24576). "
+            "Pass unstable_ok=True to silence, or use ar='df64'/f32 storage "
+            "for accuracy.",
+            stacklevel=3,
+        )
 
 
 def trsv(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None,
@@ -424,57 +563,70 @@ def trsv(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None,
 
 
 def acc_trsv(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
-             interpret=None, resident=None):
+             interpret=None, resident=None, unstable_ok: bool = False):
     """Accessor mixed-precision TRSV (reference ``acc_trsv``,
     ``cuda/trsv_kernels.cuh:918-961``): storage from the arrays, arithmetic per
-    `ar`. ar='f32' is the MXU sweep with cast-on-load; ar='df64' adds one
-    iterative-refinement step with a df64-exact residual (the fp64-register
-    recurrence analogue)."""
+    `ar`. ar='f32' is the MXU sweep with cast-on-load; ar='df64' carries the
+    solved panels and correction accumulator as double-float VMEM pairs inside
+    the one-pass sweep (the reference's arithmetic-type shared memory,
+    ``cuda/trsv_kernels.cuh:546,744``) — the triangle streams exactly once, so
+    the accessor tier runs at storage speed. In the VMEM-resident small-n
+    regime df64 instead uses one refinement step with a df64-exact residual
+    (``ops.tri_gemv``) — equivalent error, and the resident f32 solves win
+    below ~2048.
+
+    bf16 storage beyond n=1024 triggers a stability warning (the recurrence
+    amplifies storage rounding to O(1) on ill-conditioned triangles);
+    `unstable_ok=True` opts in silently."""
     ar = dtypes.check_arithmetic(ar)
     st_out = dtypes.canon(b.dtype)
-    x0 = _trsv_impl(a, b, uplo, unit, interpret, st_out="f32", resident=resident)
+    n = a.shape[0]
+    _check_bf16_envelope(a, n, ar, unstable_ok, "acc_trsv")
     if ar == "f32":
+        x0 = _trsv_impl(a, b, uplo, unit, interpret, st_out="f32", resident=resident)
         return x0.astype(dtypes.jnp_dtype(st_out))
     if ar != "df64":
         raise NotImplementedError(f"acc_trsv arithmetic {ar!r}")
-    # one refinement step: r = b - T x0 (df64-exact residual), dx = T^{-1} r
-    from .tri_gemv import tri_gemv_df64
+    if _use_small(n, interpret, resident, "f32"):
+        # resident regime: refinement step with a df64-exact residual
+        # (r = b - T x0 via ops.tri_gemv, dx = T^{-1} r)
+        from .tri_gemv import tri_gemv_df64
 
-    r = tri_gemv_df64(a, x0, b, uplo=uplo, unit=unit, interpret=interpret)
-    dx = _trsv_impl(a, r, uplo, unit, interpret, st_out="f32", resident=resident)
-    return (x0 + dx).astype(dtypes.jnp_dtype(st_out))
+        x0 = _trsv_impl(a, b, uplo, unit, interpret, st_out="f32", resident=resident)
+        r = tri_gemv_df64(a, x0, b, uplo=uplo, unit=unit, interpret=interpret)
+        dx = _trsv_impl(a, r, uplo, unit, interpret, st_out="f32", resident=resident)
+        return (x0 + dx).astype(dtypes.jnp_dtype(st_out))
+    return _trsv_impl(a, b, uplo, unit, interpret, st_out=st_out,
+                      resident=False, ar="df64")
 
 
-def trsm(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None):
+def trsm(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None,
+         resident=None):
     """Fixed-precision multi-RHS triangular solve: T X = B, B of shape (n, k).
 
     A capability beyond the reference (its TRSV design generalized:
     ``cuda/trsv_kernels.cuh:69-235`` carries one rhs; here the solved blocks
     ride as (k, B) row-panels so every per-step dot is an MXU GEMM)."""
-    return _trsm_impl(a, b, uplo, unit, interpret, st_out=dtypes.canon(b.dtype))
+    return _trsm_impl(a, b, uplo, unit, interpret, st_out=dtypes.canon(b.dtype),
+                      resident=resident)
 
 
-def acc_trsm(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *, interpret=None):
+def acc_trsm(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
+             interpret=None, resident=None, unstable_ok: bool = False):
     """Accessor mixed-precision TRSM: storage from the arrays (bf16/f32),
-    f32 arithmetic via cast-on-load; ar='df64' adds one iterative-refinement
-    step with a df64-exact residual per column block."""
+    f32 arithmetic via cast-on-load; ar='df64' runs the one-pass sweep with
+    double-float carried panels (see acc_trsv) — every right-hand side
+    refines in the same single pass over the triangle."""
     ar = dtypes.check_arithmetic(ar)
     st_out = dtypes.canon(b.dtype)
-    x0 = _trsm_impl(a, b, uplo, unit, interpret, st_out="f32")
+    _check_bf16_envelope(a, a.shape[0], ar, unstable_ok, "acc_trsm")
     if ar == "f32":
+        x0 = _trsm_impl(a, b, uplo, unit, interpret, st_out="f32", resident=resident)
         return x0.astype(dtypes.jnp_dtype(st_out))
     if ar != "df64":
         raise NotImplementedError(f"acc_trsm arithmetic {ar!r}")
-    from .tri_gemv import tri_gemv_df64
-
-    cols = []
-    for c in range(b.shape[1]):
-        r = tri_gemv_df64(a, x0[:, c], b[:, c].astype(jnp.float32), uplo=uplo,
-                          unit=unit, interpret=interpret)
-        cols.append(r)
-    r_all = jnp.stack(cols, 1)
-    dx = _trsm_impl(a, r_all, uplo, unit, interpret, st_out="f32")
-    return (x0 + dx).astype(dtypes.jnp_dtype(st_out))
+    return _trsm_impl(a, b, uplo, unit, interpret, st_out=st_out,
+                      resident=False, ar="df64")
 
 
 def xla_trsv(a, b, uplo: str = "upper", unit: bool = True):

@@ -35,6 +35,7 @@ try:  # jax >= 0.6 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from ..ops import df64 as dfm
 from ..ops import dot as dotops
 from ..ops import gemv as gemvops
 
@@ -55,7 +56,16 @@ def make_mesh(n_devices: int | None = None, axes=("rows", "cols")) -> Mesh:
 
 
 def pdot(x, y, mesh: Mesh, axis: str = "cols", ar: str = "f32", precise: bool = False):
-    """Sharded DOT: local accessor DOT per chip + psum over `axis`."""
+    """Sharded DOT: local accessor DOT per chip, combined over `axis`.
+
+    Fixed/f32 tiers combine with one `psum`. The df64 tier must NOT psum the
+    DF (hi, lo) pytree component-wise: hi and lo would each be summed
+    independently in f32, so the rounding of the hi-sum (~2^-24 of the
+    partial magnitudes) is captured nowhere and cross-chip cancellation
+    degrades the result from df64 (~2^-48) toward f32 accuracy. Instead the
+    per-chip DF partials ride one `all_gather` (shard counts are small — a
+    few lanes over ICI) and every chip folds them with an exact `df_add`
+    chain, preserving the full double-float width end-to-end."""
 
     @functools.partial(
         shard_map,
@@ -66,6 +76,10 @@ def pdot(x, y, mesh: Mesh, axis: str = "cols", ar: str = "f32", precise: bool = 
     )
     def f(xb, yb):
         local = dotops.acc_dot(xb, yb, ar=ar, precise=precise)
+        if ar == "df64":
+            his = jax.lax.all_gather(local.hi, axis)  # (n_shards,)
+            los = jax.lax.all_gather(local.lo, axis)
+            return dfm.df_sum(dfm.DF(his, los))
         return jax.lax.psum(local, axis)
 
     return f(x, y)
@@ -142,7 +156,8 @@ def power_step(a, x, r, *, mesh: Mesh, ar: str = "f32"):
     x' = all-gathered y / sqrt(nu) resharded onto the cols axis."""
     y = pgemv(a, x, r, 1.0, 1.0, ar=ar, mesh=mesh)
     nu = pdot(y, y, mesh, axis="rows", ar=ar)
-    y_norm = y * jax.lax.rsqrt(nu.astype(jnp.float32) + 1e-30)
+    nu_f = dfm.df_to_f32(nu) if isinstance(nu, dfm.DF) else nu.astype(jnp.float32)
+    y_norm = y * jax.lax.rsqrt(nu_f + 1e-30)
     # reshard rows → cols for the next iteration (XLA inserts the collective)
     x_next = jax.lax.with_sharding_constraint(
         y_norm, NamedSharding(mesh, P("cols"))

@@ -78,8 +78,15 @@ def sr_round(src: np.ndarray, st, u: np.ndarray | None = None, seed: int = 0) ->
 
 def sr_round_device(src, st, key):
     """Device-side SR: same algorithm in jnp (f32 input), uniforms from
-    jax.random so the conversion is replayable host-side via the same key
-    (threefry is bit-identical across CPU/TPU backends)."""
+    jax.random (threefry is bit-identical across CPU/TPU backends).
+
+    Replay caveat: the host `sr_round` computes the acceptance probability in
+    f64 while this path computes it in f32, so a host replay via
+    ``sr_round(..., u=<same uniforms>)`` is *statistically* identical but not
+    bit-exact — elements whose uniform lands within ~1 f32 ulp of the
+    threshold (a ~2^-24 fraction) can round to the other neighbor. Bit-exact
+    replay of THIS function is running this jnp code on the CPU backend with
+    the same key."""
     import jax
     import jax.numpy as jnp
 

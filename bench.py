@@ -86,6 +86,38 @@ def main():
         "pct_hbm_roofline": 100.0 * gemv_gbps / hbm_gbps,
     }
 
+    del ab, xg, rg
+
+    # ---- context: TRSV fixed f32 vs fused one-pass Acc<df64,f32> ----
+    # round 3 claimed the last storage-speed property: the df64 tier carries
+    # DF pairs inside the one-pass sweep (ops/trsv.py) instead of a 3-pass
+    # refinement. Device-random well-conditioned triangle (timing is
+    # data-independent; the LU-factored accuracy campaign lives in the
+    # trsv_benchmark driver).
+    n_trsv = 16384
+    key = jax.random.PRNGKey(0)
+    at = jax.random.uniform(key, (n_trsv, n_trsv), jnp.float32, -1, 1)
+    at = at + n_trsv * 0.001 * jnp.eye(n_trsv, dtype=jnp.float32)
+    bt = jnp.ones((n_trsv,), jnp.float32)
+    from accblas_tpu.ops import trsv as trsvops
+
+    ms_t32 = benchmark_loop(
+        lambda c, at: trsvops.trsv(at, jnp.clip(c, -1.0, 1.0), "upper", True,
+                                   resident=False),
+        bt, args=(at,),
+    )
+    ms_tdf = benchmark_loop(
+        lambda c, at: trsvops.acc_trsv(at, jnp.clip(c, -1.0, 1.0), "upper", True,
+                                       ar="df64", resident=False),
+        bt, args=(at,),
+    )
+    details["trsv_16384"] = {
+        "fixed_f32_gflops": n_trsv * n_trsv / (ms_t32 * 1e-3) / 1e9,
+        "acc_df64_f32_gflops": n_trsv * n_trsv / (ms_tdf * 1e-3) / 1e9,
+        "df64_over_fixed_speed_ratio": ms_t32 / ms_tdf,
+    }
+    del at, bt
+
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
     print(json.dumps(details, indent=2), file=sys.stderr)

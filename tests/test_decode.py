@@ -1,11 +1,11 @@
 """Exhaustive bit-pattern tests for the integer-carrier float decoders
-(ops.common.decode_*) — every representable value of each narrow format."""
+(ops.decode.*, retained int8-carrier experiments) — every representable value of each narrow format."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from accblas_tpu.ops.common import decode_f8e4m3, decode_f8e5m2, decode_f16
+from accblas_tpu.ops.decode import decode_f8e4m3, decode_f8e5m2, decode_f16
 
 
 def test_decode_f8e4m3_all_256():

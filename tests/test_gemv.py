@@ -131,6 +131,22 @@ def test_acc_gemv_df64_nonpow2_chunks():
     assert _rel(got, ref) < 2e-7
 
 
+@pytest.mark.parametrize("n", [700, 1477])
+def test_gemv_ragged_fullrow_tail(n):
+    """Arbitrary (non-lane-multiple) n rides the fullrow kernel's overlapping
+    masked tail window — zero-copy, exact (the masked lanes are hard zeros)."""
+    m = 72
+    a64, x64, r64 = _data(m, n, seed=31)
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    ref = np.asarray(a, np.float64) @ np.asarray(x, np.float64) + np.asarray(r, np.float64)
+    got32 = gemvops.gemv(a, x, r, 1.0, 1.0)
+    assert _rel(got32, ref) < 1e-5
+    got_df = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", precise=True)
+    assert _rel(got_df, ref) < 2e-7
+
+
 def test_acc_gemv_df64_over_bf16():
     # df64 arithmetic over bf16 storage rides the full-row Kahan path: the
     # arithmetic must be exact on the *stored* (bf16-rounded) values

@@ -32,6 +32,36 @@ def test_pdot_matches_local(mesh):
     assert abs(got - ref) / abs(ref) < 1e-5
 
 
+def test_pdot_df64_exact_combine(mesh):
+    """Cross-chip df64 combine must preserve the double-float width.
+
+    Cancellation-heavy input: each cols-shard's partial is ~±64 while the
+    total is ~0.3, so a component-wise psum of the DF pytree (hi and lo
+    summed independently in f32) loses the hi-sum rounding (~64·2^-24 ≈
+    4e-6 absolute → ~1e-5 relative) — the round-2 bug. The exact
+    all_gather + df_add combine must match the host fp64 oracle to <1e-12."""
+    n = 8192
+    shards = 4  # cols axis of the 2x4 mesh
+    rng = np.random.default_rng(7)
+    base = np.repeat([1.0, -1.0, 1.0, -1.0], n // shards) / 32.0  # partials ±64
+    noise = rng.uniform(-1.0, 1.0, n) * 1e-2
+    x64 = base + noise
+    y64 = np.ones(n)
+    ref = float(x64 @ y64)  # ~ sum(noise) ~ O(0.3)
+    assert abs(ref) < 5.0 and abs(ref) > 1e-3  # the construction held
+    x = jnp.asarray(x64, jnp.float32)
+    # f32 storage rounding of x is part of both sides of the comparison:
+    # oracle on the stored values
+    ref_stored = float(np.asarray(x, np.float64) @ y64)
+    y = jnp.asarray(y64, jnp.float32)
+    got = pdot(x, y, mesh, axis="cols", ar="df64", precise=True)
+    from accblas_tpu.ops.df64 import DF, df_to_f64
+
+    assert isinstance(got, DF)
+    rel = abs(float(df_to_f64(got)) - ref_stored) / abs(ref_stored)
+    assert rel < 1e-12, rel
+
+
 def test_pgemv_matches_local(mesh):
     m, n = 512, 1024
     a64 = gen_mtx(MatrixInfo(m, n), seed=1)

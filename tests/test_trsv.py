@@ -90,6 +90,69 @@ def test_acc_trsv_df64_refinement_beats_f32():
     assert e_ref < 5e-6
 
 
+def test_acc_trsv_df64_fused_sweep_multiblock():
+    """The one-pass df64 sweep (DF-carried panels) vs the fp64 oracle: must
+    sit at/below the f32 tier's error and track the storage floor."""
+    n = 1024  # 2 sweep blocks: exercises DF publish + cross-block corrections
+    lu, b64 = _packed_lu(n, seed=61)
+    ref = _ref_solve(lu, b64, "upper", False)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    # resident=False forces the fused sweep even where refinement would apply
+    e_df = _rel(trsvops.acc_trsv(a, b, unit=False, ar="df64", resident=False), ref)
+    e_f32 = _rel(trsvops.trsv(a, b, unit=False, resident=False), ref)
+    assert e_df <= max(e_f32, 5e-7)
+    assert e_df < 5e-6
+
+
+def test_acc_trsm_df64_fused():
+    """df64 TRSM rides the same one-pass sweep (no per-column residual loop)."""
+    n, k = 768, 12
+    lu, _ = _packed_lu(n, seed=67)
+    B64 = gen_mtx(MatrixInfo(k, n), seed=71).T
+    ref = _ref_solve_multi(lu, B64, "upper", False)
+    got = trsvops.acc_trsm(
+        jnp.asarray(lu, jnp.float32), jnp.asarray(B64, jnp.float32),
+        uplo="upper", unit=False, ar="df64",
+    )
+    rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
+    got32 = trsvops.trsm(
+        jnp.asarray(lu, jnp.float32), jnp.asarray(B64, jnp.float32),
+        uplo="upper", unit=False,
+    )
+    rel32 = np.linalg.norm(np.asarray(got32, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel <= max(rel32, 5e-7)
+    assert rel < 5e-6
+
+
+@pytest.mark.parametrize("uplo", ["upper", "lower"])
+def test_acc_trsv_df64_fused_lower_upper(uplo):
+    n = 512
+    lu, b64 = _packed_lu(n, seed=73)
+    unit = uplo == "lower"  # the well-conditioned mode per triangle
+    ref = _ref_solve(lu, b64, uplo, unit)
+    got = trsvops.acc_trsv(
+        jnp.asarray(lu, jnp.float32), jnp.asarray(b64, jnp.float32),
+        uplo=uplo, unit=unit, ar="df64", resident=False,
+    )
+    assert _rel(got, ref) < 5e-6
+
+
+def test_bf16_envelope_warns():
+    n = 2048
+    lu, b64 = _packed_lu(n, seed=79)
+    ab = jnp.asarray(lu, jnp.float32).astype(jnp.bfloat16)
+    b = jnp.asarray(b64, jnp.float32)
+    with pytest.warns(UserWarning, match="bf16-storage"):
+        trsvops.acc_trsv(ab, b, unit=False, ar="f32")
+    # opt-in silences; df64 arithmetic doesn't warn (its carry is exact)
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")
+        trsvops.acc_trsv(ab, b, unit=False, ar="f32", unstable_ok=True)
+
+
 def test_xla_trsv_baseline():
     n = 512
     lu, b64 = _packed_lu(n, seed=13)
