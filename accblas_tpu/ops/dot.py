@@ -136,9 +136,24 @@ def _dot_kernel(
     precise: bool,
     rows_acc: int = 8,
     chains: int = 1,
+    n_elems: int | None = None,
 ):
     i = pl.program_id(0)
-    ragged = rows_total % block_rows != 0
+    # two masking granularities: row-level for the aligned (rows, 128)
+    # layout, element-level for the zero-copy ragged 1-D layout (n % 128
+    # != 0 — the kernel streams the original buffer and masks the true
+    # element tail; a (rows, 128) reshape would need a pad copy)
+    ragged = rows_total % block_rows != 0 or n_elems is not None
+
+    def _mask(p, fill):
+        if not ragged:
+            return p
+        rowid = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        if n_elems is not None:
+            colid = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            gid = rowid * 128 + colid
+            return jnp.where(gid < n_elems - i * block_rows * 128, p, fill)
+        return jnp.where(rowid < rows_total - i * block_rows, p, fill)
 
     @pl.when(i == 0)
     def _init():
@@ -160,16 +175,17 @@ def _dot_kernel(
         # accessor cast-on-load to f32 carriers of the df64 values
         xa = rx.load_raw().astype(jnp.float32)
         ya = ry.load_raw().astype(jnp.float32)
+        if xa.ndim == 1:  # 1-D ragged layout -> native (rows, 128) view
+            xa = xa.reshape(-1, 128)
+            ya = ya.reshape(-1, 128)
         if precise:
             p, e = dfm.two_prod(xa, ya)
         else:
             p, e = xa * ya, None
         if ragged:
-            valid = rows_total - i * block_rows
-            rowid = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
-            p = jnp.where(rowid < valid, p, 0.0)
+            p = _mask(p, 0.0)
             if e is not None:
-                e = jnp.where(rowid < valid, e, 0.0)
+                e = _mask(e, 0.0)
         # interleaved compensated chains at (rows_acc, 128) granularity:
         # acc_hi holds the running sums s of all chains stacked, acc_lo the
         # compensation channel c. Full-tile shapes at high VPU occupancy
@@ -205,11 +221,12 @@ def _dot_kernel(
         ar_dt = dtypes.jnp_dtype(ar)
         xa = rx.load()
         ya = ry.load()
+        if xa.ndim == 1:  # 1-D ragged layout -> native (rows, 128) view
+            xa = xa.reshape(-1, 128)
+            ya = ya.reshape(-1, 128)
         p = (xa * ya).astype(ar_dt)
         if ragged:
-            valid = rows_total - i * block_rows
-            rowid = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
-            p = jnp.where(rowid < valid, p, jnp.zeros((), ar_dt))
+            p = _mask(p, jnp.zeros((), ar_dt))
         sub = acc_hi.shape[0]
         # pairwise tree of elementwise adds in the arithmetic dtype (Mosaic
         # has no sub-32-bit reduce ops; block_rows and sub are powers of two)
@@ -283,11 +300,21 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
     spec_y = ReducedRowMajor(ar, dtypes.canon(y.dtype))
 
     # mixed-storage inputs must agree on row geometry: pad both to the wider
-    # of the two native sublane tiles (8-bit storage tiles at (32, 128))
+    # of the two native sublane tiles (8-bit storage tiles at (32, 128)).
+    # Ragged n keeps the ORIGINAL 1-D buffers (a (rows, 128) reshape would
+    # be a pad copy — the round-2 3x ragged penalty); the kernel views each
+    # 1-D block as (rows, 128) in-register (native layout, probed at full
+    # aligned speed) and masks the element tail.
     st_rows = max(min_sublanes(x.dtype), min_sublanes(y.dtype))
-    x2 = as_rows128(x, min_rows=st_rows)
-    y2 = as_rows128(y, min_rows=st_rows)
-    rows = x2.shape[0]
+    n_elems = x.shape[0]
+    lanes1d = n_elems % 128 != 0
+    if lanes1d:
+        x2, y2 = x, y
+        rows = pl.cdiv(n_elems, 128)
+    else:
+        x2 = as_rows128(x, min_rows=st_rows)
+        y2 = as_rows128(y, min_rows=st_rows)
+        rows = x2.shape[0]
     if ar == "df64":
         cap = MAX_BLOCK_ROWS_DF64_PRECISE if precise else MAX_BLOCK_ROWS_DF64
     else:
@@ -322,15 +349,24 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
         precise=precise,
         rows_acc=rows_acc,
         chains=chains,
+        n_elems=n_elems if lanes1d else None,
     )
     init2 = jnp.full((1, 1), 0.0 if init is None else init, jnp.float32)
+    if lanes1d:
+        vec_spec = pl.BlockSpec(
+            (block_rows * 128,), lambda i: (i,), memory_space=pltpu.VMEM
+        )
+    else:
+        vec_spec = pl.BlockSpec(
+            (block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
     hi, lo = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            vec_spec,
+            vec_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -32,8 +32,9 @@ def _kernel(init_ref, x_ref, y_ref, o_ref, acc, *, n: int, n_steps: int):
 
     @pl.when(i == 0)
     def _init():
-        z = jnp.zeros_like(acc)
-        acc[...] = z.at[0, 0].set(init_ref[0, 0])
+        rid = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        acc[...] = jnp.where((rid == 0) & (cid == 0), init_ref[0, 0], 0.0)
 
     xv = x_ref[...].reshape(-1, 128)
     yv = y_ref[...].reshape(-1, 128)
@@ -55,7 +56,7 @@ def _kernel(init_ref, x_ref, y_ref, o_ref, acc, *, n: int, n_steps: int):
         o_ref[0, 0] = jnp.sum(acc[...])
 
 
-def dot1d(x, y, init):
+def dot1d(init, x, y):
     n = x.shape[0]
     n_steps = pl.cdiv(n, BL)
     return pl.pallas_call(
