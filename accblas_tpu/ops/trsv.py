@@ -570,10 +570,9 @@ def acc_trsv(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
     solved panels and correction accumulator as double-float VMEM pairs inside
     the one-pass sweep (the reference's arithmetic-type shared memory,
     ``cuda/trsv_kernels.cuh:546,744``) — the triangle streams exactly once, so
-    the accessor tier runs at storage speed. In the VMEM-resident small-n
-    regime df64 instead uses one refinement step with a df64-exact residual
-    (``ops.tri_gemv``) — equivalent error, and the resident f32 solves win
-    below ~2048.
+    the accessor tier runs at storage speed at EVERY size (the round-2
+    small-n refinement form measured 10-20 GF/s at n<=2048 vs the fused
+    sweep's sweep-rate ~115-170; same storage-floor error).
 
     bf16 storage beyond n=1024 triggers a stability warning (the recurrence
     amplifies storage rounding to O(1) on ill-conditioned triangles);
@@ -587,15 +586,6 @@ def acc_trsv(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
         return x0.astype(dtypes.jnp_dtype(st_out))
     if ar != "df64":
         raise NotImplementedError(f"acc_trsv arithmetic {ar!r}")
-    if _use_small(n, interpret, resident, "f32"):
-        # resident regime: refinement step with a df64-exact residual
-        # (r = b - T x0 via ops.tri_gemv, dx = T^{-1} r)
-        from .tri_gemv import tri_gemv_df64
-
-        x0 = _trsv_impl(a, b, uplo, unit, interpret, st_out="f32", resident=resident)
-        r = tri_gemv_df64(a, x0, b, uplo=uplo, unit=unit, interpret=interpret)
-        dx = _trsv_impl(a, r, uplo, unit, interpret, st_out="f32", resident=resident)
-        return (x0 + dx).astype(dtypes.jnp_dtype(st_out))
     return _trsv_impl(a, b, uplo, unit, interpret, st_out=st_out,
                       resident=False, ar="df64")
 

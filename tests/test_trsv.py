@@ -138,6 +138,29 @@ def test_acc_trsv_df64_fused_lower_upper(uplo):
     assert _rel(got, ref) < 5e-6
 
 
+def test_tri_gemv_df64_residual():
+    """Standalone df64-exact triangular residual r = b - T x (the building
+    block for user-level iterative refinement; formerly acc_trsv's
+    refinement pass, now a library op in its own right)."""
+    from accblas_tpu.ops.tri_gemv import tri_gemv_df64
+
+    n = 700  # exercises the 512-block padding
+    lu, b64 = _packed_lu(n, seed=83)
+    t = np.triu(lu)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    x64 = gen_mtx(MatrixInfo(1, n), seed=89)[0]
+    x = jnp.asarray(x64, jnp.float32)
+    ref = np.asarray(b, np.float64) - np.asarray(t, np.float64) @ np.asarray(
+        x, np.float64
+    )
+    # the residual itself is heavily cancelled; df64 carry must hold it to
+    # ~f32-product-rounding of the ROW SUMS, far below naive f32 evaluation
+    got = np.asarray(tri_gemv_df64(a, x, b, uplo="upper", unit=False), np.float64)
+    denom = np.linalg.norm(np.asarray(t @ np.asarray(x, np.float64), np.float64), 1)
+    assert np.linalg.norm(got - ref, 1) / denom < 1e-6
+
+
 def test_bf16_envelope_warns():
     n = 2048
     lu, b64 = _packed_lu(n, seed=79)
