@@ -504,7 +504,9 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
     if not interpret and b.dtype == jnp.float16:
         b = b.astype(jnp.float32)
     block = _block_for(n)
-    if k == 1 and n >= 4 * BLOCK_VEC:
+    # n=4096 measured better at 512 (nb=4 at 1024 leaves too few sweep steps
+    # to amortize the diagonal solves); 1024 wins from n=8192 up
+    if k == 1 and n >= 8 * BLOCK_VEC:
         block = BLOCK_VEC
     leaf = min(LEAF, block)
     bt = b.T.astype(jnp.float32)  # (k, n) row-panel form

@@ -98,7 +98,14 @@ def pgemv(
     col_axis: str = "cols",
 ):
     """Sharded GEMV: res = alpha·A@x + beta·res with A sharded (rows, cols),
-    x sharded (cols), res/result sharded (rows). One psum over the cols axis."""
+    x sharded (cols), res/result sharded (rows). One psum over the cols axis.
+
+    Precision note (deliberate, unlike pdot's DF combine): the result's
+    contract is f32 *storage*, so each chip's partial is rounded to f32
+    before the psum — that adds at most ~n_shards extra half-ulp roundings
+    on top of the unavoidable final store rounding, keeping the df64 tier at
+    the f32 storage floor (flat in n). pdot differs because its df64 result
+    IS a DF value, so there the partials must combine exactly."""
 
     @functools.partial(
         shard_map,

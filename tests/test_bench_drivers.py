@@ -118,3 +118,24 @@ def test_trsm_driver_mode(capsys):
     # cross-block accumulation error for the df64 carry to win back — the
     # gap opens at larger n, see bench_results/trsv_error.csv)
     assert vals["TRSM Acc<df64,f32>"] <= vals["TRSM fp32"] * 1.2
+
+
+def test_solvers_driver_smoke(capsys, monkeypatch):
+    """CG rate/residual driver at a tiny size with shortened iteration
+    budgets (the real campaign runs n=8192 on hardware)."""
+    from accblas_tpu.bench import solvers_benchmark as s
+
+    monkeypatch.setattr(s, "ITERS_LO", 2)
+    monkeypatch.setattr(s, "ITERS_HI", 8)
+    monkeypatch.setattr(s, "REPS", 2)
+    header, rows = _run_main(
+        s, ["solvers_benchmark", "--size", "1024"], capsys
+    )
+    assert header[1].startswith("CG f32/f32")
+    vals = list(map(float, rows[0][1:]))
+    assert len(vals) == 8  # 4 variants x (rate, resid)
+    import math
+
+    # rates positive; residuals finite and small for the diag-dominant SPD
+    assert vals[0] > 0 and vals[1] < 1e-3
+    assert all(math.isfinite(v) for v in vals)
