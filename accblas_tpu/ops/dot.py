@@ -307,7 +307,11 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
     # aligned speed) and masks the element tail.
     st_rows = max(min_sublanes(x.dtype), min_sublanes(y.dtype))
     n_elems = x.shape[0]
-    lanes1d = n_elems % 128 != 0
+    # the zero-copy 1-D view is f32-only: sub-32-bit storage packs multiple
+    # sublanes per vreg row, so the in-kernel (L,) -> (L/128, 128) view is a
+    # relayout Mosaic cannot lower (compile-helper crash at bf16 ragged) —
+    # those tiers keep the pad fallback
+    lanes1d = n_elems % 128 != 0 and x.dtype.itemsize == 4 and y.dtype.itemsize == 4
     if lanes1d:
         x2, y2 = x, y
         rows = pl.cdiv(n_elems, 128)

@@ -16,6 +16,8 @@ run() {
 
 run trsv_flops  accblas_tpu.bench.trsv_benchmark --size 24576
 run trsv_error  accblas_tpu.bench.trsv_benchmark --size 24576 --error --no-unit
+# rerun: first pass hit a Mosaic crash on bf16 ragged (now pad-fallback)
+run dot_ragged_123456789 accblas_tpu.bench.dot_benchmark --size 123456789 --sweep single --no-align
 
 echo "=== probe_r3c ($(date +%H:%M:%S))" >> $R/campaign_r3.log
 timeout 3600 python scripts/probe_r3c.py > $R/probe_r3c.log 2>&1
