@@ -80,7 +80,8 @@ def _mxu_operands(av_raw, xv, ar: str):
     return av, xa, prec
 
 
-def _gemv_small(a, x, res, alpha, beta, ar: str, precise: bool, st_out: str):
+def _gemv_small(a, x, res, alpha, beta, ar: str, precise: bool, st_out: str,
+                df_out: bool = False):
     """XLA-composed small GEMV with identical tier semantics."""
     m, n = a.shape
     rv = jnp.where(
@@ -112,6 +113,8 @@ def _gemv_small(a, x, res, alpha, beta, ar: str, precise: bool, st_out: str):
             s, err = s_new, err_new
         tot = dfm.DF(s[:, 0], err[:, 0])
         out = dfm.df_add(dfm.df_mul_f32(tot, jnp.float32(alpha)), dfm.df_from(rv))
+        if df_out:
+            return out
         return dfm.df_to_f32(out).astype(dtypes.jnp_dtype(st_out))
     ar_dt = dtypes.jnp_dtype(ar)
     av, xa, prec = _mxu_operands(a, x, ar)
@@ -294,8 +297,7 @@ def _gemv_fullrow_kernel(
     a_ref,
     x_ref,
     r_ref,
-    o_ref,
-    *,
+    *out_refs,
     n: int,
     st_out: str,
     ar: str = "f32",
@@ -303,7 +305,13 @@ def _gemv_fullrow_kernel(
     spec_a: ReducedRowMajor,
     spec_x: ReducedRowMajor,
     spec_out: ReducedRowMajor,
+    df_out: bool = False,
 ):
+    # df_out: emit the unrounded DF (hi, lo) pair instead of the storage
+    # cast — the cross-chip building block (parallel.pgemv df64 combines
+    # per-chip partials exactly; rounding to f32 before the combine would
+    # re-lose what the df64 carry preserved)
+    o_ref = out_refs[0]
     # one full row panel per grid step (the DOT-like 1-D structure): VPU
     # multiply + pairwise chunk fold; no cross-step carry, no MXU passes.
     # Measured 91% of HBM roofline for f32 at 16384^2 (vs 60% for the
@@ -370,7 +378,11 @@ def _gemv_fullrow_kernel(
             tot = dfm.df_add(tot, dfm.DF(e_acc, jnp.zeros_like(e_acc)))
         total = dfm.df_fold_lanes(tot, 1)  # DF (bm, 1)
         out = dfm.df_add(dfm.df_mul_f32(total, alpha), dfm.df_from(rv))
-        ro.store(out)  # cast-on-store: DF -> st_out
+        if df_out:
+            out_refs[0][...] = out.hi
+            out_refs[1][...] = out.lo
+        else:
+            ro.store(out)  # cast-on-store: DF -> st_out
         return
     # chunk-sequential accumulation over 128-lane chunks, reading each chunk
     # straight off the storage panel — measured 376 GF/s at 24576 in the
@@ -400,7 +412,8 @@ def _gemv_fullrow_kernel(
 
 
 def _gemv_fullrow_call(
-    a, x, res, alpha, beta, interpret, st_out: str, ar: str = "f32", precise: bool = False
+    a, x, res, alpha, beta, interpret, st_out: str, ar: str = "f32",
+    precise: bool = False, df_out: bool = False,
 ):
     m, n = a.shape
     itemsize = jnp.dtype(a.dtype).itemsize
@@ -425,12 +438,23 @@ def _gemv_fullrow_call(
         ):
             bm *= 2
     grid = (pl.cdiv(m, bm),)
+    o_spec = pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if df_out:
+        out_specs = (o_spec, o_spec)
+        out_shape = (
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        )
+    else:
+        out_specs = o_spec
+        out_shape = jax.ShapeDtypeStruct((m, 1), dtypes.jnp_dtype(st_out))
     out = pl.pallas_call(
         functools.partial(
             _gemv_fullrow_kernel, n=n, st_out=st_out, ar=ar, precise=precise,
             spec_a=ReducedRowMajor(ar, dtypes.canon(a.dtype)),
             spec_x=ReducedRowMajor(ar, dtypes.canon(x.dtype)),
             spec_out=ReducedRowMajor(ar, st_out),
+            df_out=df_out,
         ),
         grid=grid,
         in_specs=[
@@ -440,8 +464,8 @@ def _gemv_fullrow_call(
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, 1), dtypes.jnp_dtype(st_out)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=compiler_params(
             dimension_semantics=("arbitrary",),
             # raise the 16 MiB default scope: v5e VMEM is 128 MiB and the
@@ -459,10 +483,15 @@ def _gemv_fullrow_call(
         x.reshape(1, n),
         res.reshape(m, 1),
     )
+    if df_out:
+        return dfm.DF(out[0].reshape(m), out[1].reshape(m))
     return out.reshape(m)
 
 
-def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, resident=None):
+def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret,
+               resident=None, df_out=False):
+    if df_out and ar != "df64":
+        raise ValueError("df_out requires ar='df64'")
     m, n = a.shape
     if x.shape != (n,) or res.shape != (m,):
         raise ValueError(f"shape mismatch: A{a.shape} x{x.shape} res{res.shape}")
@@ -493,7 +522,8 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
                 )
             resident = True
     if resident:
-        return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out)
+        return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out,
+                           df_out=df_out)
 
     # full-row VPU path: f32 arithmetic over f32 storage (fastest exact
     # form), and df64 arithmetic over ANY storage (the Kahan chains ride the
@@ -507,7 +537,8 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
     # row panel — route them through the resident mode (they're VMEM-scale
     # anyway)
     if a.dtype in _F8 and m < 32:
-        return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out)
+        return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out,
+                           df_out=df_out)
     itemsize = jnp.dtype(a.dtype).itemsize
     # ragged n rides the fullrow kernel's overlapping masked tail window
     # (zero-copy, see _tail_prod — replaces round 2's O(m·n) pad copy).
@@ -525,7 +556,13 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret, reside
     ragged_ok = n % 128 == 0 or (n >= 128 and itemsize > 1)
     if fullrow_ok and ragged_ok and 2 * min_bm * n * itemsize <= 8 * 2**20:
         return _gemv_fullrow_call(
-            a, x, res, alpha, beta, interpret, st_out, ar=ar, precise=precise
+            a, x, res, alpha, beta, interpret, st_out, ar=ar, precise=precise,
+            df_out=df_out,
+        )
+    if df_out:
+        raise NotImplementedError(
+            "df_out is served by the fullrow/resident df64 paths; this "
+            "operand shape routed to the 2-D colform kernel"
         )
 
     # df64's compensated-fold temporaries live in VMEM: keep its row-block
@@ -603,13 +640,18 @@ def gemv(a, x, res, alpha=1.0, beta=1.0, *, interpret=None, resident=None):
 
 
 def acc_gemv(a, x, res, alpha=1.0, beta=1.0, ar="df64", *, precise=False,
-             interpret=None, resident=None):
+             interpret=None, resident=None, df_out=False):
     """Accessor mixed-precision GEMV (reference ``acc_gemv``,
     ``cuda/gemv_kernels.cuh:168-193``): storage dtypes from the arrays,
-    arithmetic per `ar` ('f32' | 'df64' | 'bf16')."""
+    arithmetic per `ar` ('f32' | 'df64' | 'bf16').
+
+    `df_out=True` (df64 only) returns the UNROUNDED result as a `DF` pair
+    instead of casting to the output storage — the building block for exact
+    cross-chip combines (`parallel.pgemv` with ar='df64') and user-level
+    compensated compositions."""
     ar = dtypes.check_arithmetic(ar)
     return _gemv_call(a, x, res, alpha, beta, ar, precise=precise,
-                      interpret=interpret, resident=resident)
+                      interpret=interpret, resident=resident, df_out=df_out)
 
 
 def xla_gemv(a, x, res, alpha=1.0, beta=1.0):

@@ -100,12 +100,12 @@ def pgemv(
     """Sharded GEMV: res = alpha·A@x + beta·res with A sharded (rows, cols),
     x sharded (cols), res/result sharded (rows). One psum over the cols axis.
 
-    Precision note (deliberate, unlike pdot's DF combine): the result's
-    contract is f32 *storage*, so each chip's partial is rounded to f32
-    before the psum — that adds at most ~n_shards extra half-ulp roundings
-    on top of the unavoidable final store rounding, keeping the df64 tier at
-    the f32 storage floor (flat in n). pdot differs because its df64 result
-    IS a DF value, so there the partials must combine exactly."""
+    df64 combine: per-chip partials ride as UNROUNDED DF pairs
+    (`acc_gemv(..., df_out=True)`) through one `all_gather` and an exact
+    `df_add` fold, so the contraction keeps df64 width end-to-end; alpha/beta
+    apply in DF and the single rounding to the output storage happens last —
+    the same discipline as pdot's combine (a component-wise psum of hi/lo
+    would silently drop the hi-sum rounding). f32/fixed tiers use one psum."""
 
     @functools.partial(
         shard_map,
@@ -116,6 +116,18 @@ def pgemv(
     )
     def f(a_blk, x_blk, r_blk):
         zero = jnp.zeros_like(r_blk, jnp.float32)
+        if ar == "df64":
+            part = gemvops.acc_gemv(
+                a_blk, x_blk, zero, 1.0, 0.0, ar="df64", df_out=True
+            )
+            his = jax.lax.all_gather(part.hi, col_axis)  # (n_shards, m_local)
+            los = jax.lax.all_gather(part.lo, col_axis)
+            tot = dfm.df_sum(dfm.DF(his, los), axis=0)
+            out = dfm.df_add(
+                dfm.df_mul_f32(tot, jnp.float32(alpha)),
+                dfm.df_from(r_blk.astype(jnp.float32) * jnp.float32(beta)),
+            )
+            return dfm.df_to_f32(out).astype(r_blk.dtype)
         part = gemvops.acc_gemv(a_blk, x_blk, zero, 1.0, 0.0, ar=ar)
         total = jax.lax.psum(part, col_axis)
         return (alpha * total + beta * r_blk.astype(jnp.float32)).astype(r_blk.dtype)

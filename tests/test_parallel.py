@@ -62,6 +62,32 @@ def test_pdot_df64_exact_combine(mesh):
     assert rel < 1e-12, rel
 
 
+def test_pgemv_df64_exact_combine(mesh):
+    """pgemv's df64 tier must keep DF width across the cols-axis combine:
+    per-shard row partials ~±64 cancel to O(0.1) totals, so rounding each
+    partial to f32 before combining (the old psum form) would leave ~1e-5
+    relative error; the DF all_gather + df_add fold must stay ~1e-7 of the
+    PARTIAL magnitude, i.e. <1e-4 of the cancelled total — and the df64
+    column must beat the plain-f32-arith pgemv by a wide margin."""
+    m, n = 64, 8192
+    shards = 4
+    rng = np.random.default_rng(11)
+    base = np.repeat([1.0, -1.0, 1.0, -1.0], n // shards)[None, :] / 32.0
+    noise = rng.uniform(-1.0, 1.0, (m, n)) * 1e-3
+    a64 = base + noise
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.ones((n,), jnp.float32)
+    r = jnp.zeros((m,), jnp.float32)
+    ref = np.asarray(a, np.float64) @ np.ones(n)  # oracle on stored values
+    got = np.asarray(pgemv(a, x, r, 1.0, 0.0, ar="df64", mesh=mesh), np.float64)
+    rel = np.linalg.norm(got - ref, 1) / np.linalg.norm(ref, 1)
+    # DF-exact combine: error ~ f32 product floor of the partials
+    assert rel < 2e-4, rel
+    got32 = np.asarray(pgemv(a, x, r, 1.0, 0.0, ar="f32", mesh=mesh), np.float64)
+    rel32 = np.linalg.norm(got32 - ref, 1) / np.linalg.norm(ref, 1)
+    assert rel < rel32 / 5, (rel, rel32)
+
+
 def test_pgemv_matches_local(mesh):
     m, n = 512, 1024
     a64 = gen_mtx(MatrixInfo(m, n), seed=1)
