@@ -93,14 +93,15 @@ def main():
         def run(iters, a=a, ar=ar):
             f = jax.jit(functools.partial(solvers.cg, iters=iters, ar=ar, tol=0.0))
             out = f(a, b)
-            jax.block_until_ready(out)
-            return f, out
+            np.asarray(out[1])  # real D2H sync (block_until_ready can
+            return f, out  # return early through the axon tunnel)
 
         def timed(f, iters):
             ts = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                jax.block_until_ready(f(a, b))
+                out = f(a, b)
+                np.asarray(out[1])  # D2H fetch = true completion barrier
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 

@@ -14,6 +14,7 @@ run() {
   echo "=== $name exit=$? ($(date +%H:%M:%S))" >> $R/campaign_r3.log
 }
 
+run solvers     accblas_tpu.bench.solvers_benchmark --size 8192
 run trsv_flops  accblas_tpu.bench.trsv_benchmark --size 24576
 run trsv_error  accblas_tpu.bench.trsv_benchmark --size 24576 --error --no-unit
 # rerun: first pass hit a Mosaic crash on bf16 ragged (now pad-fallback)
@@ -26,4 +27,11 @@ echo "=== probe_r3c exit=$? ($(date +%H:%M:%S))" >> $R/campaign_r3.log
 # dense (reference-style step) sweeps — the linear-grid parity story
 run gemv_flops_dense accblas_tpu.bench.gemv_benchmark --size 24576 --sweep dense
 run trsv_flops_dense accblas_tpu.bench.trsv_benchmark --size 24576 --sweep dense
+
+# dot_error needs more than the campaign's 90-min slot (16 sizes x 10
+# randomizations; results buffer until the end, reference-style)
+echo "=== dot_error rerun ($(date +%H:%M:%S))" >> $R/campaign_r3.log
+timeout 10800 python -m accblas_tpu.bench.dot_benchmark --size 536870912 --error \
+  > $R/dot_error.csv 2> $R/dot_error.log
+echo "=== dot_error exit=$? ($(date +%H:%M:%S))" >> $R/campaign_r3.log
 echo "post-campaign done $(date +%H:%M:%S)" >> $R/campaign_r3.log
