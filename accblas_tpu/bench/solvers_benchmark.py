@@ -11,12 +11,14 @@ SPD system at every (storage × dot-arithmetic) pairing, reporting
   dots must hold the recurrence at the f32-storage floor where plain-f32
   dots drift.
 
-Timing: a jitted CG run is ONE device dispatch (the iteration loop is a
-``lax.while_loop``), but the ~25-30 ms tunnel dispatch latency is material
-against ~100 ms solves — so the rate is taken as a two-point slope,
-(t(iters_hi) - t(iters_lo)) / (iters_hi - iters_lo), min over reps, which
-cancels dispatch overhead and any fixed setup exactly (the same K-slope idea
-as utils.bench.benchmark_loop, applied at the solver-call level).
+Timing: host-side wall clocks are untrustworthy through the remote tunnel
+(even a D2H fetch measured ~zero delta between 20- and 120-iteration
+solves), so CG calls are timed with the SAME chained in-device K-slope
+harness as the kernels (`utils.bench.benchmark_loop` — the solution vector
+feeds the next call's right-hand side, a true data chain), at two iteration
+budgets; the per-iteration rate is the slope
+(iters_hi - iters_lo) / (t_hi - t_lo), which cancels the per-call setup
+(initial dots, tolerance computation) exactly.
 
 CSV schema matches the kernel drivers (`;`-separated, 16 digits). Also rows
 for richardson_refine (mixed-storage preconditioning) and power_method.
@@ -25,16 +27,16 @@ for richardson_refine (mixed-storage preconditioning) and power_method.
 from __future__ import annotations
 
 import sys
-import time
+
 
 import numpy as np
 
 from . import common
 
 ITERS_LO, ITERS_HI = 20, 120
-REPS = 5
+
 DEFAULT_SIZE = 8192
-MIN_SIZE = 1024
+MIN_SIZE = 512
 
 
 def _spd_device(n: int, seed: int):
@@ -88,31 +90,34 @@ def main():
     common.emit_header("n", [f"{name} {col}" for name, _, _ in variants
                              for col in ("it_per_s", "resid")])
 
+    from ..utils.bench import benchmark_loop
+
     vals = []
     for name, a, ar in variants:
-        def run(iters, a=a, ar=ar):
-            f = jax.jit(functools.partial(solvers.cg, iters=iters, ar=ar, tol=0.0))
-            out = f(a, b)
-            np.asarray(out[1])  # real D2H sync (block_until_ready can
-            return f, out  # return early through the axon tunnel)
+        def cg_ms(iters, a=a, ar=ar):
+            """Per-call ms for a full `iters`-iteration CG solve, via the
+            chained in-device loop (x_out -> clipped next rhs)."""
+            import jax.numpy as jnp
 
-        def timed(f, iters):
-            ts = []
-            for _ in range(REPS):
-                t0 = time.perf_counter()
-                out = f(a, b)
-                np.asarray(out[1])  # D2H fetch = true completion barrier
-                ts.append(time.perf_counter() - t0)
-            return min(ts)
+            def body(c, a):
+                x, rs, it = solvers.cg(a, jnp.clip(c, -1.0, 1.0),
+                                       iters=iters, ar=ar, tol=0.0)
+                return x
+
+            return benchmark_loop(body, b, args=(a,))
 
         def measure(name=name, a=a, ar=ar):
-            f_lo, _ = run(ITERS_LO)
-            f_hi, out_hi = run(ITERS_HI)
-            t_lo = timed(f_lo, ITERS_LO)
-            t_hi = timed(f_hi, ITERS_HI)
-            rate = (ITERS_HI - ITERS_LO) / max(t_hi - t_lo, 1e-9)
+            out_hi = jax.jit(
+                functools.partial(solvers.cg, iters=ITERS_HI, ar=ar, tol=0.0)
+            )(a, b)
+            t_lo = cg_ms(ITERS_LO)
+            t_hi = cg_ms(ITERS_HI)
+            rate = (ITERS_HI - ITERS_LO) / max(t_hi - t_lo, 1e-9) * 1e3
             resid = _df64_residual(a32, b, out_hi[0])
-            common.progress(f"{name}: {rate:.1f} it/s, resid {resid:.3e}")
+            common.progress(
+                f"{name}: {rate:.1f} it/s ({t_lo:.2f}/{t_hi:.2f} ms at "
+                f"{ITERS_LO}/{ITERS_HI} iters), resid {resid:.3e}"
+            )
             return rate, resid
 
         try:

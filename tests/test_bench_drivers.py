@@ -127,9 +127,8 @@ def test_solvers_driver_smoke(capsys, monkeypatch):
 
     monkeypatch.setattr(s, "ITERS_LO", 2)
     monkeypatch.setattr(s, "ITERS_HI", 8)
-    monkeypatch.setattr(s, "REPS", 2)
     header, rows = _run_main(
-        s, ["solvers_benchmark", "--size", "1024"], capsys
+        s, ["solvers_benchmark", "--size", "512", "--sweep", "single"], capsys
     )
     assert header[1].startswith("CG f32/f32")
     vals = list(map(float, rows[0][1:]))
