@@ -86,30 +86,31 @@ BF16_STABLE_N = 1024
 def _extract_leaf_diag(a, nb: int, block: int, leaf: int, interpret):
     """Extract the leaf-diagonal blocks as (nb·B/leaf, leaf, leaf).
 
-    Two stages: a Pallas DMA pulls exactly the nb block-diagonal (B, B) tiles
-    (an XLA gather over the full n² matrix lowers catastrophically — measured
-    ~10 ms at n=16384 vs ~0.04 ms of actual bytes), then a cheap gather on
-    that small stack selects the leaf diagonals."""
+    One Pallas pass: the DMA pulls exactly the nb block-diagonal (B, B)
+    tiles (an XLA gather over the full n² matrix lowers catastrophically —
+    measured ~10 ms at n=16384 vs ~0.04 ms of actual bytes) and the kernel
+    emits the leaf diagonals with STATIC slices. The former two-stage form
+    (Pallas DMA + jnp advanced-indexing gather on the small stack) hit a
+    pathological XLA:TPU compile when the gather sat inside a fori_loop —
+    ~3 minutes per (shape, variant) at small n (round-3 bisect)."""
+    nleaf = block // leaf
 
     def kern(a_ref, o_ref):
-        o_ref[0] = a_ref[...]
+        for s in range(nleaf):
+            o_ref[0, s] = a_ref[s * leaf : (s + 1) * leaf, s * leaf : (s + 1) * leaf]
 
-    dd = pl.pallas_call(
+    d = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[pl.BlockSpec((block, block), lambda i: (i, i), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
-            (1, block, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, nleaf, leaf, leaf), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, block, block), a.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, nleaf, leaf, leaf), a.dtype),
         compiler_params=compiler_params(dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(a)
-    nleaf = block // leaf
-    d5 = dd.reshape(nb, nleaf, leaf, nleaf, leaf)
-    idx = jnp.arange(nleaf)
-    d = d5[:, idx, :, idx, :]  # (nleaf, nb, leaf, leaf)
-    return d.transpose(1, 0, 2, 3).reshape(nb * nleaf, leaf, leaf)
+    return d.reshape(nb * nleaf, leaf, leaf)
 
 
 def _leaf_inverses(a, nb: int, block: int, leaf: int, lower: bool, unit: bool, interpret):
