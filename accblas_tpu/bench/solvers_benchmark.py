@@ -40,14 +40,19 @@ MIN_SIZE = 512
 
 
 def _spd_device(n: int, seed: int):
-    """Diagonally-dominant SPD matrix + rhs, generated on device (no tunnel
-    bulk transfer): A = I + (U + U^T) / (2n), Gershgorin-SPD."""
+    """Moderately ill-conditioned SPD system, generated on device (no tunnel
+    bulk transfer): A = C^T C / n + 0.01 I (Wishart + ridge, kappa ~ 400) —
+    hard enough that a 120-iteration CG budget is actually SPENT (a
+    diagonally-dominant I + U/2n system converges in ~10 iterations, which
+    made every iteration budget measure the same work)."""
     import jax
     import jax.numpy as jnp
 
     ku, kb = jax.random.split(jax.random.PRNGKey(seed))
-    u = jax.random.uniform(ku, (n, n), jnp.float32, -1.0, 1.0)
-    a = jnp.eye(n, dtype=jnp.float32) + (u + u.T) / (2.0 * n)
+    c = jax.random.uniform(ku, (n, n), jnp.float32, -1.0, 1.0)
+    with jax.default_matmul_precision("highest"):
+        w = jnp.matmul(c.T, c) / n
+    a = w + 0.01 * jnp.eye(n, dtype=jnp.float32)
     b = jax.random.uniform(kb, (n,), jnp.float32, -1.0, 1.0)
     return a, b
 

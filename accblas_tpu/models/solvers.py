@@ -57,18 +57,30 @@ def cg(a, b, *, iters: int = 50, ar: str = "f32", tol: float = 0.0):
     x0 = jnp.zeros_like(b32)
     r0 = b32
     state0 = CGState(x0, r0, r0, _dot(r0, r0, ar), jnp.int32(0))
-    tol2 = jnp.float32(tol) ** 2 * _dot(b32, b32, ar)
+    if tol == 0.0:
+        # fixed iteration budget: no residual exit at all. (An rs > 0 guard
+        # still trips on TPU once a converged recurrence underflows rs to
+        # exact zero — subnormals flush — which silently turned fixed-budget
+        # benchmark runs into ~10-iteration runs.)
+        tol2 = jnp.float32(-1.0)
+    else:
+        tol2 = jnp.float32(tol) ** 2 * _dot(b32, b32, ar)
 
     def cond(s: CGState):
         return jnp.logical_and(s.it < iters, s.rs > tol2)
 
     def body(s: CGState):
+        # guarded updates: once the recurrence has fully converged (rs can
+        # underflow to exact 0 — TPU flushes subnormals), remaining
+        # fixed-budget iterations become inert instead of 0/0 -> NaN
         ap = _matvec(a, s.p, ar)
-        alpha = s.rs / _dot(s.p, ap, ar)
+        den = _dot(s.p, ap, ar)
+        alpha = jnp.where(den > 0.0, s.rs / jnp.where(den > 0.0, den, 1.0), 0.0)
         x = s.x + alpha * s.p
         r = s.r - alpha * ap
         rs_new = _dot(r, r, ar)
-        p = r + (rs_new / s.rs) * s.p
+        beta = jnp.where(s.rs > 0.0, rs_new / jnp.where(s.rs > 0.0, s.rs, 1.0), 0.0)
+        p = r + beta * s.p
         return CGState(x, r, p, rs_new, s.it + 1)
 
     out = jax.lax.while_loop(cond, body, state0)
