@@ -89,15 +89,20 @@ def _extract_leaf_diag(a, nb: int, block: int, leaf: int, interpret):
     One Pallas pass: the DMA pulls exactly the nb block-diagonal (B, B)
     tiles (an XLA gather over the full n² matrix lowers catastrophically —
     measured ~10 ms at n=16384 vs ~0.04 ms of actual bytes) and the kernel
-    emits the leaf diagonals with STATIC slices. The former two-stage form
-    (Pallas DMA + jnp advanced-indexing gather on the small stack) hit a
-    pathological XLA:TPU compile when the gather sat inside a fori_loop —
-    ~3 minutes per (shape, variant) at small n (round-3 bisect)."""
+    emits the leaf diagonals with STATIC slices, always in f32. The former
+    two-stage form (Pallas DMA + jnp advanced-indexing gather on the small
+    stack) hit a pathological XLA:TPU compile when the gather sat inside a
+    fori_loop — ~3 minutes per (shape, variant) at small n (round-3 bisect).
+    The cast to f32 happens ARRAY-LEVEL on the full aligned block before any
+    slicing: a leaf=64 slice sits at a half-lane offset, and Mosaic's 16-bit
+    sub-lane relayout for bf16 slices cost ~20% of the whole solve (bf16
+    column 394 -> 323 GF/s at n=24576 when the slices read bf16 directly)."""
     nleaf = block // leaf
 
     def kern(a_ref, o_ref):
+        a_f32 = a_ref[...].astype(jnp.float32)
         for s in range(nleaf):
-            o_ref[0, s] = a_ref[s * leaf : (s + 1) * leaf, s * leaf : (s + 1) * leaf]
+            o_ref[0, s] = a_f32[s * leaf : (s + 1) * leaf, s * leaf : (s + 1) * leaf]
 
     d = pl.pallas_call(
         kern,
@@ -106,7 +111,7 @@ def _extract_leaf_diag(a, nb: int, block: int, leaf: int, interpret):
         out_specs=pl.BlockSpec(
             (1, nleaf, leaf, leaf), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, nleaf, leaf, leaf), a.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, nleaf, leaf, leaf), jnp.float32),
         compiler_params=compiler_params(dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(a)
@@ -119,7 +124,7 @@ def _leaf_inverses(a, nb: int, block: int, leaf: int, lower: bool, unit: bool, i
     memory role, ``cuda/trsv_kernels.cuh:125-162``, hoisted out of the
     sequential sweep and batched). Returns (nb, B/leaf, leaf, leaf) float32."""
     m = nb * block // leaf
-    d = _extract_leaf_diag(a, nb, block, leaf, interpret).astype(jnp.float32)  # (m, leaf, leaf)
+    d = _extract_leaf_diag(a, nb, block, leaf, interpret)  # (m, leaf, leaf) f32
     r = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
     tri = (r >= c) if lower else (r <= c)
