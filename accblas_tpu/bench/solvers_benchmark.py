@@ -117,7 +117,13 @@ def main():
             )(a, b)
             t_lo = cg_ms(ITERS_LO)
             t_hi = cg_ms(ITERS_HI)
-            rate = (ITERS_HI - ITERS_LO) / max(t_hi - t_lo, 1e-9) * 1e3
+            # a non-positive slope means the two budgets did the same device
+            # work — report NaN, not a fiction (a pegged guard value once
+            # slipped into solvers.csv looking like a plausible rate)
+            if t_hi > t_lo:
+                rate = (ITERS_HI - ITERS_LO) / (t_hi - t_lo) * 1e3
+            else:
+                rate = float("nan")
             resid = _df64_residual(a32, b, out_hi[0])
             common.progress(
                 f"{name}: {rate:.1f} it/s ({t_lo:.2f}/{t_hi:.2f} ms at "
