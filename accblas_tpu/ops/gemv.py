@@ -425,16 +425,30 @@ def _gemv_fullrow_call(
     bm = 32 if itemsize == 1 else 8
     while 2 * (2 * bm) * n * itemsize + n * 4 <= 7 * 2**23 and 2 * bm <= max(m, 8):
         bm *= 2
-    bm = min(bm, 128)  # beyond 128 rows the panel DMA granularity wins nothing
+    # row-panel cap targets ~8 MiB per grid step: beyond that the DMA
+    # granularity wins nothing (measured at f32 24576, bm 128 vs 256 equal),
+    # but BELOW ~1 MiB the fixed per-step cost dominates — the dense-grid
+    # sweep measured bf16 at 0.68x XLA at n=3200 (461 vs 677 GF/s) with the
+    # old hard bm=128 cap, ramping to only 0.93x at 23680
+    bm_cap = 128
+    while bm_cap < 1024 and bm_cap * n * itemsize < 8 * 2**20:
+        bm_cap *= 2
+    bm = min(bm, bm_cap)
     if ar == "df64":
         # the Kahan accumulators/chunk temporaries are (bm, 128)-small, so
         # the double-buffered input panel is the whole budget; measured
         # throughput rises with bm up to 128 (256 exhausts VMEM at n=16384)
         bm = 32 if itemsize == 1 else 8
+        # same per-step-volume floor as the plain path, but conservative
+        # (256 max): the Kahan accumulators scale with bm, and 256 exhausted
+        # the scoped VMEM at n=16384 under the old budget — allow it only
+        # where a 128-row panel is under 2 MiB (small/mid n, where the
+        # per-step overhead showed as the dense-grid df64-bf16 dip at 3200)
+        df_cap = 256 if 128 * n * itemsize < 2 * 2**20 else 128
         while (
             2 * (2 * bm) * n * itemsize <= 8 * 2**20
             and 2 * bm <= max(m, 8)
-            and 2 * bm <= 128
+            and 2 * bm <= df_cap
         ):
             bm *= 2
     grid = (pl.cdiv(m, bm),)
