@@ -118,19 +118,33 @@ def _extract_leaf_diag(a, nb: int, block: int, leaf: int, interpret):
     return d.reshape(nb * nleaf, leaf, leaf)
 
 
-def _leaf_inverses(a, nb: int, block: int, leaf: int, lower: bool, unit: bool, interpret):
+def _leaf_inverses(a, nb: int, block: int, leaf: int, lower: bool, unit: bool, interpret,
+                   n: int | None = None):
     """Batched masked inversion of the leaf x leaf diagonal sub-blocks,
     transposed for the row-form sweep (phase 1 — the Gauss-Jordan-in-shared-
     memory role, ``cuda/trsv_kernels.cuh:125-162``, hoisted out of the
-    sequential sweep and batched). Returns (nb, B/leaf, leaf, leaf) float32."""
+    sequential sweep and batched). Returns (nb, B/leaf, leaf, leaf) float32.
+
+    When the logical size `n` is not a block multiple the matrix arrives
+    UNPADDED (zero-copy ragged path): the boundary diagonal tile's
+    out-of-bounds lanes read unspecified values, which are masked to an
+    identity continuation here (rows/cols past n -> 0 off-diagonal, 1 on the
+    diagonal) so padding lanes solve to x = 0 against the zero-padded rhs."""
     m = nb * block // leaf
     d = _extract_leaf_diag(a, nb, block, leaf, interpret)  # (m, leaf, leaf) f32
     r = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
     tri = (r >= c) if lower else (r <= c)
-    d = jnp.where(tri[None], d, 0.0)
+    keep = jnp.broadcast_to(tri[None], (m, leaf, leaf))
+    ragged = n is not None and n != nb * block
+    if ragged:
+        base = (jnp.arange(m, dtype=jnp.int32) * leaf)[:, None, None]
+        keep = keep & ((base + r[None]) < n) & ((base + c[None]) < n)
+    d = jnp.where(keep, d, 0.0)
     if unit:
         d = jnp.where((r == c)[None], 1.0, d)
+    elif ragged:
+        d = jnp.where((r == c)[None] & ((base + r[None]) >= n), 1.0, d)
     eye = jnp.broadcast_to(jnp.eye(leaf, dtype=jnp.float32), (m, leaf, leaf))
     # TPU's default matmul precision truncates f32 operands to bf16 inside
     # XLA's blocked TriangularSolve — force true f32 (Pallas/Mosaic dots in
@@ -167,6 +181,8 @@ def _trsv_kernel(
     lower: bool,
     leaf: int,
     ar: str,
+    n_total: int,
+    block: int,
     spec_a: ReducedRowMajor,
     spec_b: ReducedRowMajor,
     spec_out: ReducedRowMajor,
@@ -201,6 +217,15 @@ def _trsv_kernel(
         a_blk = ra.load_raw().astype(jnp.float32)
     else:
         a_blk = ra.load()
+    if n_total % block != 0:
+        # zero-copy ragged path: the matrix arrives unpadded, so boundary
+        # tiles read unspecified out-of-bounds values (possibly NaN/inf —
+        # they would poison the MXU dots even against zero x lanes, the same
+        # hazard gemv's colform masks). Zero every lane past n; the diagonal
+        # identity continuation lives in the pre-masked leaf inverses.
+        rr = jax.lax.broadcasted_iota(jnp.int32, a_blk.shape, 0) + bi * block
+        cc = jax.lax.broadcasted_iota(jnp.int32, a_blk.shape, 1) + bj * block
+        a_blk = jnp.where((rr < n_total) & (cc < n_total), a_blk, 0.0)
 
     @pl.when(j < i)
     def _update():
@@ -292,7 +317,10 @@ def _tri_pairs(nb: int, lower: bool):
 
 
 def _trsv_sweep(a, invt, b2, nb: int, block: int, lower: bool, st_out: str, interpret,
-                leaf: int = LEAF, nrhs: int = 1, ar: str = "f32"):
+                leaf: int = LEAF, nrhs: int = 1, ar: str = "f32",
+                n_total: int | None = None):
+    if n_total is None:
+        n_total = nb * block
     steps = nb * (nb + 1) // 2
     ij = _tri_pairs(nb, lower)
     df = ar == "df64"
@@ -316,6 +344,8 @@ def _trsv_sweep(a, invt, b2, nb: int, block: int, lower: bool, st_out: str, inte
         lower=lower,
         leaf=leaf,
         ar=ar,
+        n_total=n_total,
+        block=block,
         spec_a=ReducedRowMajor(ar, st_a),
         spec_b=ReducedRowMajor(ar, st_b),
         spec_out=ReducedRowMajor(ar, st_out),
@@ -418,40 +448,56 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     lower = uplo == "lower"
     block = _block_for(n)
     nb = pl.cdiv(n, block)
-    npad = nb * block
-    a_p, _, _, _ = _pad_packed(a, b2[:, 0], block)
-    b_p = jnp.pad(b2, ((0, npad - n), (0, 0))) if npad != n else b2
-    af = a_p.astype(jnp.float32)
+    af = a.astype(jnp.float32)
+    # zero-copy ragged: the last block is simply smaller (every slice below
+    # is static and in-bounds), replacing the former full pad + diagonal
+    # scatter that dominated ragged small-n solves
+    starts = [bi * block for bi in range(nb)]
+    sizes = [block] * (nb - 1) + [n - (nb - 1) * block]
 
-    # block-diagonal extraction via reshape-gather (cheap at this size; the
-    # Pallas diagonal DMA is for the n^2-large case)
-    d = af.reshape(nb, block, nb, block)[jnp.arange(nb), :, jnp.arange(nb), :]
-    r = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-    tri = (r >= c) if lower else (r <= c)
-    d = jnp.where(tri[None], d, 0.0)
-    if unit:
-        d = jnp.where((r == c)[None], 1.0, d)
-    eye = jnp.broadcast_to(jnp.eye(block, dtype=jnp.float32), d.shape)
-    with jax.default_matmul_precision("highest"):
-        inv = jax.lax.linalg.triangular_solve(
-            d, eye, left_side=True, lower=lower, unit_diagonal=False
-        )  # (nb, block, block)
+    def _inv_stack(ds):
+        """Masked inverse of a (g, s, s) stack of same-size diagonal blocks."""
+        s = ds.shape[-1]
+        r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        tri = (r >= c) if lower else (r <= c)
+        ds = jnp.where(tri[None], ds, 0.0)
+        if unit:
+            ds = jnp.where((r == c)[None], 1.0, ds)
+        eye = jnp.broadcast_to(jnp.eye(s, dtype=jnp.float32), ds.shape)
+        with jax.default_matmul_precision("highest"):
+            return jax.lax.linalg.triangular_solve(
+                ds, eye, left_side=True, lower=lower, unit_diagonal=False
+            )
+
+    nfull = nb if sizes[-1] == block else nb - 1
+    inv: list = [None] * nb
+    if nfull:
+        d = jnp.stack(
+            [af[s0 : s0 + block, s0 : s0 + block] for s0 in starts[:nfull]]
+        )
+        inv_full = _inv_stack(d)
+        for bi in range(nfull):
+            inv[bi] = inv_full[bi]
+    if nfull != nb:
+        s0 = starts[-1]
+        inv[-1] = _inv_stack(af[None, s0:, s0:])[0]
 
     hi = jax.lax.Precision.HIGHEST
-    xs: list = [None] * nb  # solved (block, k) pieces, logical block index
+    xs: list = [None] * nb  # solved (sizes[bi], k) pieces, logical block index
     order = range(nb) if lower else range(nb - 1, -1, -1)
     for bi in order:
-        rhs = b_p[bi * block : (bi + 1) * block]
+        rhs = b2[starts[bi] : starts[bi] + sizes[bi]]
         done = [bj for bj in (range(bi) if lower else range(bi + 1, nb))]
         if done:
-            lo_c, hi_c = done[0] * block, (done[-1] + 1) * block
+            lo_c = starts[done[0]]
+            hi_c = starts[done[-1]] + sizes[done[-1]]
             xcat = jnp.concatenate([xs[bj] for bj in done])
             rhs = rhs - jnp.matmul(
-                af[bi * block : (bi + 1) * block, lo_c:hi_c], xcat, precision=hi
+                af[starts[bi] : starts[bi] + sizes[bi], lo_c:hi_c], xcat, precision=hi
             )
         xs[bi] = jnp.matmul(inv[bi], rhs, precision=hi)
-    x = jnp.concatenate(xs)[:n].astype(dtypes.jnp_dtype(st_out))
+    x = jnp.concatenate(xs).astype(dtypes.jnp_dtype(st_out))
     return x[:, 0] if vec else x
 
 
@@ -516,8 +562,14 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
         block = BLOCK_VEC
     leaf = min(LEAF, block)
     bt = b.T.astype(jnp.float32)  # (k, n) row-panel form
-    a_p, bt_p, nb, npad = _pad_packed(a, bt, block)
-    invt = _leaf_inverses(a_p, nb, block, leaf, lower, unit, interpret)
+    nb = pl.cdiv(n, block)
+    npad = nb * block
+    # zero-copy ragged: only the rhs pads (O(n·k)); the matrix streams
+    # unpadded with boundary tiles masked in-kernel (the former full-matrix
+    # pad + diagonal scatter cost ~5x at every non-block-multiple n:
+    # 45-65 vs 300-350 GF/s, bench_results/trsv_flops_dense.csv)
+    bt_p = jnp.pad(bt, ((0, 0), (0, npad - n))) if npad != n else bt
+    invt = _leaf_inverses(a, nb, block, leaf, lower, unit, interpret, n=n)
 
     # rhs panels padded to a sublane multiple; wide panels split into groups
     # bounded by the solved-x scratch budget (df64 carries hi+lo pairs)
@@ -532,8 +584,8 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
             bt_g = jnp.pad(bt_g, ((0, gk_pad - gk), (0, 0)))
         b2 = bt_g.reshape(gk_pad, nb, block).transpose(1, 0, 2)
         x = _trsv_sweep(
-            a_p, invt, b2, nb, block, lower, st_out, interpret,
-            leaf=leaf, nrhs=gk_pad, ar=ar,
+            a, invt, b2, nb, block, lower, st_out, interpret,
+            leaf=leaf, nrhs=gk_pad, ar=ar, n_total=n,
         )  # (nb, gk_pad, block)
         xt = x.transpose(1, 0, 2).reshape(gk_pad, npad)
         outs.append(xt[:gk, :n])

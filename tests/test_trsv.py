@@ -62,6 +62,43 @@ def test_trsv_multiblock_and_ragged():
         assert _rel(got, ref) < 1e-4, (n, uplo, unit)
 
 
+def test_trsv_ragged_zero_copy_sweep():
+    # non-block-multiple n through the unpadded sweep (boundary tiles are
+    # OOB-masked in-kernel): f32, bf16 storage, and the df64 fused tier
+    n = 700
+    lu, b64 = _packed_lu(n, seed=11)
+    ref = _ref_solve(lu, b64, "upper", False)
+    a32 = jnp.asarray(lu, jnp.float32)
+    b32 = jnp.asarray(b64, jnp.float32)
+    got = trsvops.trsv(a32, b32, unit=False, resident=False)
+    assert _rel(got, ref) < 1e-4
+    got_bf = trsvops.acc_trsv(
+        jnp.asarray(lu, jnp.bfloat16), b32, unit=False, resident=False
+    )
+    assert _rel(got_bf, ref) < 5e-2
+    got_df = trsvops.acc_trsv(a32, b32, unit=False, ar="df64", resident=False)
+    assert _rel(got_df, ref) < _rel(got, ref)
+    # lower/unit exercises the un-reversed sweep ordering on the ragged edge
+    ref_l = _ref_solve(lu, b64, "lower", True)
+    got_l = trsvops.trsv(a32, b32, uplo="lower", unit=True, resident=False)
+    assert _rel(got_l, ref_l) < 1e-4
+
+
+def test_trsm_ragged_zero_copy():
+    n, k = 700, 5
+    lu, _ = _packed_lu(n, seed=13)
+    rng = np.random.default_rng(3)
+    bmat = rng.standard_normal((n, k))
+    import scipy.linalg as sla
+
+    ref = sla.solve_triangular(np.triu(lu), bmat, lower=False, unit_diagonal=False)
+    got = trsvops.trsm(
+        jnp.asarray(lu, jnp.float32), jnp.asarray(bmat, jnp.float32),
+        unit=False, resident=False,
+    )
+    assert _rel(got, ref) < 1e-4
+
+
 def test_acc_trsv_f32_over_bf16():
     n = 512
     lu, b64 = _packed_lu(n, seed=3)
