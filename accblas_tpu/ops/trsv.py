@@ -222,7 +222,11 @@ def _trsv_kernel(
         # tiles read unspecified out-of-bounds values (possibly NaN/inf —
         # they would poison the MXU dots even against zero x lanes, the same
         # hazard gemv's colform masks). Zero every lane past n; the diagonal
-        # identity continuation lives in the pre-masked leaf inverses.
+        # identity continuation lives in the pre-masked leaf inverses. The
+        # select runs unconditionally: gating it under lax.cond on the
+        # boundary-tile predicate measured SLOWER (bf16 282 -> 228, df64
+        # 243 -> 195 GF/s at n=23680 — Mosaic pays the branch more than the
+        # ~12% the always-on select costs).
         rr = jax.lax.broadcasted_iota(jnp.int32, a_blk.shape, 0) + bi * block
         cc = jax.lax.broadcasted_iota(jnp.int32, a_blk.shape, 1) + bj * block
         a_blk = jnp.where((rr < n_total) & (cc < n_total), a_blk, 0.0)
@@ -421,11 +425,16 @@ def _pad_packed(a, bt, block: int):
 # panels into groups no bigger than this
 _TRSM_SCR_BYTES = 6 * 2**20
 
-# below this n the f32 matrix fits VMEM and XLA keeps it resident across
-# repeated solves, which the HBM-streaming Pallas sweep cannot match (XLA's
-# own TriangularSolve measured 196/305 GF/s at n=1024/2048 vs the sweep's
-# 134/204; at n >= 4096 the sweep wins 1.7-4.8x). The small mode runs the
-# SAME two-level algorithm (leaf inverses + blocked substitution) as jnp ops.
+# below this n any storage dtype routes to the XLA-composed blocked
+# substitution (the f32 materialization it implies is cheap when the matrix
+# is VMEM-scale). Beyond it, f32-storage single-rhs solves STILL route there:
+# the round-3 probe (scripts/probe_r3e.py) measured the XLA-composed schedule
+# at 356-367 GF/s from n=8192 to 24576 — above the Pallas sweep at every size
+# (299/336/350 at 8192/16384/24576) and nearly immune to ragged n (360 vs the
+# sweep's 194 at 12416) — 90% of the 819 GB/s triangle roofline. The Pallas
+# sweep remains the engine for narrow storage (bf16 streams at storage
+# bandwidth, 393 GF/s at 24576 — an f32 materialization would forfeit it),
+# for the fused df64 tier, and for multi-rhs TRSM (MXU GEMM panels).
 RESIDENT_N = 2048
 
 
@@ -511,17 +520,23 @@ def _block_for(n: int) -> int:
     return 128
 
 
-def _use_small(n: int, interpret, resident, ar: str) -> bool:
-    """Resident-mode gate: honor an explicit resident flag; auto only on a
-    TPU backend with no explicit interpret request (advisor round-2: an
-    explicit resident=False or interpret=True must reach the sweep)."""
+def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
+               st_f32: bool = True) -> bool:
+    """Blocked-substitution routing gate: honor an explicit resident flag;
+    auto only on a TPU backend with no explicit interpret request (advisor
+    round-2: an explicit resident=False or interpret=True must reach the
+    sweep). Auto routes every f32-storage single-rhs solve here (probe_r3e:
+    faster than the Pallas sweep at every size and ragged-immune), plus any
+    storage at VMEM-scale n."""
     if ar != "f32":
         return False
     if resident is True:
         return True
     if resident is False or interpret is not None:
         return False
-    return n <= RESIDENT_N and jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    return n <= RESIDENT_N or (k == 1 and st_f32)
 
 
 def _trsv_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=None,
@@ -542,9 +557,10 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
     if a.shape != (n, n) or b.shape[0] != n:
         raise ValueError(f"trsm needs square A and (n, k) B, got {a.shape}, {b.shape}")
     lower = uplo == "lower"
-    # resident small-n regime (f32 arithmetic only): the multi-rhs small mode
-    # turns the substitution into VMEM-resident MXU GEMMs
-    if _use_small(n, interpret, resident, ar):
+    # XLA-composed blocked substitution (f32 arithmetic only): all f32
+    # single-rhs solves, any storage at small n (see _use_small)
+    if _use_small(n, interpret, resident, ar, k=k,
+                  st_f32=dtypes.canon(a.dtype) == "f32"):
         return _trsv_small(a, b, uplo, unit, st_out)
     if interpret is None:
         interpret = interpret_default()
