@@ -526,8 +526,11 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
     auto only on a TPU backend with no explicit interpret request (advisor
     round-2: an explicit resident=False or interpret=True must reach the
     sweep). Auto routes every f32-storage single-rhs solve here (probe_r3e:
-    faster than the Pallas sweep at every size and ragged-immune), plus any
-    storage at VMEM-scale n."""
+    faster than the Pallas sweep at every size and ragged-immune), any
+    storage at VMEM-scale n, and wide multi-rhs panels (probe_r3g: at
+    k=128 the XLA-composed schedule runs 24.9 vs 16.5 TF/s f32 and 44.5
+    vs 17.9 bf16 at n=16384 — XLA fuses the bf16 cast into exact
+    single-pass MXU feeds; k=16 measured a tie, so the gate sits at 32)."""
     if ar != "f32":
         return False
     if resident is True:
@@ -536,7 +539,7 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
         return False
     if jax.default_backend() != "tpu":
         return False
-    return n <= RESIDENT_N or (k == 1 and st_f32)
+    return n <= RESIDENT_N or (k == 1 and st_f32) or k >= 32
 
 
 def _trsv_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=None,
