@@ -457,7 +457,16 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     lower = uplo == "lower"
     block = _block_for(n)
     nb = pl.cdiv(n, block)
-    af = a.astype(jnp.float32)
+    # Narrow-storage (bf16/f16) cast policy is k-dependent (probe_r3h/r3i):
+    #   k < 32 (bandwidth-bound): cast PER SLICE below — XLA fuses the
+    #     slice+convert into the dot-operand feed so the triangle streams
+    #     once at storage width (bf16 single-rhs 692 GF/s = 84% of the
+    #     storage roofline at 24576; an upfront astype would triple bytes).
+    #   k >= 32 (MXU-bound): materialize ONE f32 copy upfront — the n^2
+    #     cast amortizes over the panel and keeps the GEMM feeds pure
+    #     (44.1 vs 38.4 TF/s bf16 at n=16384 k=128).
+    if b2.shape[1] >= 32 and a.dtype != jnp.float32:
+        a = a.astype(jnp.float32)
     # zero-copy ragged: the last block is simply smaller (every slice below
     # is static and in-bounds), replacing the former full pad + diagonal
     # scatter that dominated ragged small-n solves
@@ -483,14 +492,14 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     inv: list = [None] * nb
     if nfull:
         d = jnp.stack(
-            [af[s0 : s0 + block, s0 : s0 + block] for s0 in starts[:nfull]]
-        )
+            [a[s0 : s0 + block, s0 : s0 + block] for s0 in starts[:nfull]]
+        ).astype(jnp.float32)
         inv_full = _inv_stack(d)
         for bi in range(nfull):
             inv[bi] = inv_full[bi]
     if nfull != nb:
         s0 = starts[-1]
-        inv[-1] = _inv_stack(af[None, s0:, s0:])[0]
+        inv[-1] = _inv_stack(a[None, s0:, s0:].astype(jnp.float32))[0]
 
     hi = jax.lax.Precision.HIGHEST
     xs: list = [None] * nb  # solved (sizes[bi], k) pieces, logical block index
@@ -502,9 +511,10 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
             lo_c = starts[done[0]]
             hi_c = starts[done[-1]] + sizes[done[-1]]
             xcat = jnp.concatenate([xs[bj] for bj in done])
-            rhs = rhs - jnp.matmul(
-                af[starts[bi] : starts[bi] + sizes[bi], lo_c:hi_c], xcat, precision=hi
+            panel = a[starts[bi] : starts[bi] + sizes[bi], lo_c:hi_c].astype(
+                jnp.float32
             )
+            rhs = rhs - jnp.matmul(panel, xcat, precision=hi)
         xs[bi] = jnp.matmul(inv[bi], rhs, precision=hi)
     x = jnp.concatenate(xs).astype(dtypes.jnp_dtype(st_out))
     return x[:, 0] if vec else x
@@ -521,16 +531,19 @@ def _block_for(n: int) -> int:
 
 
 def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
-               st_f32: bool = True) -> bool:
+               st: str = "f32") -> bool:
     """Blocked-substitution routing gate: honor an explicit resident flag;
     auto only on a TPU backend with no explicit interpret request (advisor
     round-2: an explicit resident=False or interpret=True must reach the
-    sweep). Auto routes every f32-storage single-rhs solve here (probe_r3e:
-    faster than the Pallas sweep at every size and ragged-immune), any
+    sweep). Auto routes every f32/bf16/f16-storage single-rhs solve here
+    (probe_r3e: f32 faster than the Pallas sweep at every size and
+    ragged-immune; probe_r3h: per-slice fused convert streams bf16/f16 at
+    storage width — 692/693 vs the sweep's 398/80 GF/s at 24576), any
     storage at VMEM-scale n, and wide multi-rhs panels (probe_r3g: at
     k=128 the XLA-composed schedule runs 24.9 vs 16.5 TF/s f32 and 44.5
-    vs 17.9 bf16 at n=16384 — XLA fuses the bf16 cast into exact
-    single-pass MXU feeds; k=16 measured a tie, so the gate sits at 32)."""
+    vs 17.9 bf16 at n=16384 — k=16 measured a tie, so the gate sits at
+    32). f8 storage stays on the Pallas sweep: XLA has no fast 8-bit
+    slice+convert feed, the Mosaic kernel loads fp8 tiles natively."""
     if ar != "f32":
         return False
     if resident is True:
@@ -539,7 +552,9 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
         return False
     if jax.default_backend() != "tpu":
         return False
-    return n <= RESIDENT_N or (k == 1 and st_f32) or k >= 32
+    return (n <= RESIDENT_N
+            or (k == 1 and st in ("f32", "bf16", "f16"))
+            or k >= 32)
 
 
 def _trsv_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=None,
@@ -560,20 +575,41 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
     if a.shape != (n, n) or b.shape[0] != n:
         raise ValueError(f"trsm needs square A and (n, k) B, got {a.shape}, {b.shape}")
     lower = uplo == "lower"
-    # XLA-composed blocked substitution (f32 arithmetic only): all f32
-    # single-rhs solves, any storage at small n (see _use_small)
+    # Wide panels at VMEM-resident n: XLA's native TriangularSolve beats
+    # the blocked-inverse substitution there (trsm_flops probe: 11.8 vs
+    # 10.5 TF/s at n=512, k=128; ties by n=2048) — but only for f32
+    # storage: narrow storage streams half the bytes through the blocked
+    # schedule's fused slice+convert and wins (15.8 vs 11.8 at 512)
+    if (k >= 32 and n <= 1024 and ar == "f32"
+            and dtypes.canon(a.dtype) == "f32"
+            and resident is not False and interpret is None
+            and jax.default_backend() == "tpu"):
+        x = jax.lax.linalg.triangular_solve(
+            a.astype(jnp.float32), b.astype(jnp.float32),
+            left_side=True, lower=lower, unit_diagonal=unit,
+        )
+        return x.astype(dtypes.jnp_dtype(st_out))
+    # XLA-composed blocked substitution (f32 arithmetic only): all
+    # f32/bf16/f16 single-rhs solves, any storage at small n, wide panels
+    # (see _use_small)
     if _use_small(n, interpret, resident, ar, k=k,
-                  st_f32=dtypes.canon(a.dtype) == "f32"):
+                  st=dtypes.canon(a.dtype)):
         return _trsv_small(a, b, uplo, unit, st_out)
     if interpret is None:
         interpret = interpret_default()
     # Mosaic has no f16 type: upcast f16 storage to f32 before the kernel on
     # hardware (TRSV/TRSM is the one family where the cast-outside cost is
-    # acceptable — the solve is latency-, not bandwidth-, dominated)
+    # acceptable — the solve is latency-, not bandwidth-, dominated), and
+    # keep the kernel's out ref f32 too (an f16 out_shape dies in the same
+    # Mosaic type check) — cast the solution outside the kernel.
     if not interpret and a.dtype == jnp.float16:
         a = a.astype(jnp.float32)
     if not interpret and b.dtype == jnp.float16:
         b = b.astype(jnp.float32)
+    if not interpret and st_out == "f16":
+        x = _trsm_impl(a, b, uplo, unit, interpret, "f32",
+                       resident=resident, ar=ar)
+        return x.astype(jnp.float16)
     block = _block_for(n)
     # n=4096 measured better at 512 (nb=4 at 1024 leaves too few sweep steps
     # to amortize the diagonal solves); 1024 wins from n=8192 up

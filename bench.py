@@ -101,7 +101,15 @@ def main():
     bt = jnp.ones((n_trsv,), jnp.float32)
     from accblas_tpu.ops import trsv as trsvops
 
+    # default routing = the shipped fixed tier (XLA-composed blocked
+    # substitution since 50e154b); resident=False pins the Pallas sweep —
+    # the schedule the df64 tier shares, so sweep/df64 is the
+    # same-schedule storage-speed ratio
     ms_t32 = benchmark_loop(
+        lambda c, at: trsvops.trsv(at, jnp.clip(c, -1.0, 1.0), "upper", True),
+        bt, args=(at,),
+    )
+    ms_t32_sweep = benchmark_loop(
         lambda c, at: trsvops.trsv(at, jnp.clip(c, -1.0, 1.0), "upper", True,
                                    resident=False),
         bt, args=(at,),
@@ -113,8 +121,10 @@ def main():
     )
     details["trsv_16384"] = {
         "fixed_f32_gflops": n_trsv * n_trsv / (ms_t32 * 1e-3) / 1e9,
+        "fixed_f32_sweep_gflops": n_trsv * n_trsv / (ms_t32_sweep * 1e-3) / 1e9,
         "acc_df64_f32_gflops": n_trsv * n_trsv / (ms_tdf * 1e-3) / 1e9,
         "df64_over_fixed_speed_ratio": ms_t32 / ms_tdf,
+        "df64_over_sweep_speed_ratio": ms_t32_sweep / ms_tdf,
     }
     del at, bt
 
