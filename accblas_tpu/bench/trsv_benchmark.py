@@ -105,6 +105,7 @@ def main():
     a32_full = jax.device_put(lu64.astype(np.float32))
     b32_full = jax.device_put(b64.astype(np.float32))
     ab_full = a32_full.astype(jnp.bfloat16)
+    ah_full = a32_full.astype(jnp.float16)
 
     op = "TRSM" if nrhs else "TRSV"
     solve = trsvops.trsm if nrhs else trsvops.trsv
@@ -119,6 +120,12 @@ def main():
     run_acc_f32b = jax.jit(
         lambda a, b: acc_solve(a, b, uplo, unit, ar="f32", unstable_ok=True)
     )
+    # f16 storage (10-bit mantissa) sits between bf16 and f32 on the
+    # error lattice and, since the blocked-XLA routing, runs at narrow
+    # storage speed too (683 GF/s at 24576 single-rhs, probe_r3j)
+    run_acc_f16 = jax.jit(
+        lambda a, b: acc_solve(a, b, uplo, unit, ar="f32", unstable_ok=True)
+    )
     run_acc_df = jax.jit(lambda a, b: acc_solve(a, b, uplo, unit, ar="df64"))
     run_xla = jax.jit(lambda a, b: xla_solve(a, b, uplo, unit))
 
@@ -126,6 +133,7 @@ def main():
         f"{op} fp32",
         f"{op} Acc<f32,f32>",
         f"{op} Acc<f32,bf16>",
+        f"{op} Acc<f32,f16>",
         f"{op} Acc<df64,f32>",
         f"XLA {op} fp32",
     ]
@@ -148,11 +156,13 @@ def main():
         a32 = a32_full[:n, :n]
         b32 = b32_full[:n]
         ab = ab_full[:n, :n]
+        ah = ah_full[:n, :n]
 
         entries = [
             (run_f32, (a32, b32)),
             (run_acc_f32, (a32, b32)),
             (run_acc_f32b, (ab, b32)),
+            (run_acc_f16, (ah, b32)),
             (run_acc_df, (a32, b32)),
             (run_xla, (a32, b32)),
         ]

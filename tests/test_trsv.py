@@ -311,3 +311,78 @@ def test_trsv_resident_mode_matches(uplo, unit):
     # 256-wide block inverses amplify more than the sweep's 64-wide leaves
     got_sweep = trsvops.trsv(a, b, uplo=uplo, unit=unit, resident=False)
     assert _rel(got, np.asarray(got_sweep, np.float64)) < (5e-5 if unit else 1e-5)
+
+
+def test_trsv_small_narrow_storage_tiers():
+    """The blocked-XLA schedule solves narrow-storage triangles at their
+    storage error floor (f32 arithmetic, cast-on-load per slice for k<32,
+    one upfront cast for k>=32 panels — both exact given f32 arithmetic).
+    Routing measured on hardware in probe_r3h/r3j (bf16 685 GF/s at 24576
+    vs the sweep's 398); here the numerics on a 700-row LU factor."""
+    n = 700
+    lu, b64 = _packed_lu(n)
+    ref = _ref_solve(lu, b64, "upper", False)
+    b = jnp.asarray(b64, jnp.float32)
+    floors = {jnp.bfloat16: 5e-3, jnp.float16: 6e-4, jnp.float32: 5e-7}
+    for dt, tol in floors.items():
+        a = jnp.asarray(lu, dt)
+        got = trsvops._trsv_small(a, b, "upper", False, "f32")
+        assert _rel(got, ref) < tol, dt
+        # k=64 hits the upfront-cast panel branch; column 0 must match the
+        # single-rhs solve bit-for-bit in the k<32 per-slice regime too
+        B = jnp.asarray(np.stack([b64, -b64], 1), jnp.float32)
+        B = jnp.concatenate([B] * 32, 1)  # (n, 64)
+        gotm = trsvops._trsv_small(a, B, "upper", False, "f32")
+        assert _rel(gotm[:, 0], ref) < tol, dt
+        np.testing.assert_allclose(
+            np.asarray(gotm[:, 0], np.float64), -np.asarray(gotm[:, 1], np.float64)
+        )
+
+
+def test_use_small_routing_gate(monkeypatch):
+    """Auto-routing (TPU backend): every f32/bf16/f16 single-rhs solve and
+    every k>=32 panel ride the blocked-XLA schedule; f8 stays on the Pallas
+    sweep (native fp8 tiles, no fast XLA 8-bit slice+convert); explicit
+    resident=False / interpret=True always reach the sweep."""
+    import accblas_tpu.ops.trsv as tv
+
+    monkeypatch.setattr(tv.jax, "default_backend", lambda: "tpu")
+    big = tv.RESIDENT_N + 1
+    # single-rhs autoroutes for every XLA-fast storage dtype
+    for st in ("f32", "bf16", "f16"):
+        assert tv._use_small(big, None, None, "f32", k=1, st=st)
+    assert not tv._use_small(big, None, None, "f32", k=1, st="f8e4m3")
+    # wide panels autoroute regardless of storage; narrow k does not
+    assert tv._use_small(big, None, None, "f32", k=32, st="f8e4m3")
+    assert not tv._use_small(big, None, None, "f32", k=8, st="f8e4m3")
+    # VMEM-resident n routes for any storage
+    assert tv._use_small(tv.RESIDENT_N, None, None, "f32", k=8, st="f8e4m3")
+    # df64 arithmetic always uses the fused Pallas sweep
+    assert not tv._use_small(big, None, None, "df64", k=1, st="f32")
+    # explicit requests win over auto-routing
+    assert not tv._use_small(big, None, False, "f32", k=1, st="f32")
+    assert not tv._use_small(big, True, None, "f32", k=1, st="f32")
+    # resident=True forces the blocked schedule even off-TPU
+    monkeypatch.setattr(tv.jax, "default_backend", lambda: "cpu")
+    assert tv._use_small(big, None, True, "f32", k=1, st="f32")
+    assert not tv._use_small(big, None, None, "f32", k=1, st="f32")
+
+
+def test_trsv_f16_storage_public_api():
+    """f16 storage through the public trsv/trsm (the driver's new
+    Acc<f32,f16> column): errors at the f16 storage floor, sweep path
+    (resident=False) agreeing with the blocked schedule. On hardware the
+    sweep upcasts f16 outside the kernel (Mosaic has no f16 dialect type);
+    interpret mode runs it natively — same semantics either way."""
+    n = 640
+    lu, b64 = _packed_lu(n, seed=11)
+    ref = _ref_solve(lu, b64, "upper", False)
+    a = jnp.asarray(lu, jnp.float16)
+    b = jnp.asarray(b64, jnp.float16)
+    got = trsvops.trsv(a, b, uplo="upper", unit=False)
+    assert _rel(got, ref) < 6e-4
+    got_sweep = trsvops.trsv(a, b, uplo="upper", unit=False, resident=False)
+    assert _rel(got_sweep, ref) < 6e-4
+    B = jnp.asarray(np.stack([b64, 3 * b64], 1), jnp.float16)
+    gotm = trsvops.trsm(a, B, uplo="upper", unit=False)
+    assert _rel(gotm[:, 0], ref) < 6e-4
