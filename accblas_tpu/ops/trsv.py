@@ -465,7 +465,10 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     #   k >= 32 (MXU-bound): materialize ONE f32 copy upfront — the n^2
     #     cast amortizes over the panel and keeps the GEMM feeds pure
     #     (44.1 vs 38.4 TF/s bf16 at n=16384 k=128).
-    if b2.shape[1] >= 32 and a.dtype != jnp.float32:
+    #   n <= RESIDENT_N (VMEM-scale): upfront too — at tiny n the per-slice
+    #     convert kernels dominate the solve (bf16 single-rhs at n=256
+    #     measured 2.9 GF/s per-slice vs 44.5 upfront, trsv_flops.csv).
+    if a.dtype != jnp.float32 and (b2.shape[1] >= 32 or n <= RESIDENT_N):
         a = a.astype(jnp.float32)
     # zero-copy ragged: the last block is simply smaller (every slice below
     # is static and in-bounds), replacing the former full pad + diagonal
