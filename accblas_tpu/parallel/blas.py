@@ -169,6 +169,72 @@ def ptrsm(
     return f(a, b)
 
 
+def _df_or_f32(v):
+    return dfm.df_to_f32(v) if isinstance(v, dfm.DF) else v.astype(jnp.float32)
+
+
+def pcg(a, b, *, mesh: Mesh, iters: int = 50, ar: str = "f32", tol: float = 0.0):
+    """Mesh-sharded conjugate gradients — the application tier scaled out.
+
+    Same recurrence as ``models.solvers.cg`` (fixed budget, guarded updates)
+    but every matvec is a tensor-parallel `pgemv` (psum over the cols axis)
+    and every dot a sharded `pdot`; the reference has no distributed code at
+    all (SURVEY.md §2 "Parallelism & communication"). A is (rows, cols)-
+    sharded; all vectors live cols-sharded and the rows-sharded matvec
+    output reshards back via `with_sharding_constraint` (XLA inserts the
+    all-to-all over ICI, exactly as in `power_step`). `ar` sets the tier of
+    the three Krylov dots per iteration — `ar='df64'` runs them through the
+    exact cross-chip DF combine, so the recurrence coefficients keep
+    double-float width even though each chip only ever sees a shard; the
+    matvec streams A's storage with f32 MXU accumulation either way (the
+    storage-bound piece — the same dot-tier/storage-tier split the
+    single-chip solver benchmark measures, `bench/solvers_benchmark.py`).
+
+    Returns (x cols-sharded, final |r|^2, iterations run).
+    """
+    cols = NamedSharding(mesh, P("cols"))
+    b32 = jax.lax.with_sharding_constraint(b.astype(jnp.float32), cols)
+    zero_rows = jax.lax.with_sharding_constraint(
+        jnp.zeros_like(b32), NamedSharding(mesh, P("rows"))
+    )
+
+    def matvec(p):
+        ap = pgemv(a, p.astype(a.dtype), zero_rows, 1.0, 0.0, ar="f32", mesh=mesh)
+        return jax.lax.with_sharding_constraint(ap.astype(jnp.float32), cols)
+
+    def dot(u, v):
+        return _df_or_f32(pdot(u, v, mesh, axis="cols", ar=ar,
+                               precise=(ar == "df64")))
+
+    x0 = jnp.zeros_like(b32)
+    rs0 = dot(b32, b32)
+    if tol == 0.0:
+        tol2 = jnp.float32(-1.0)  # fixed budget, no residual exit
+    else:
+        tol2 = jnp.float32(tol) ** 2 * rs0
+
+    def cond(s):
+        x, r, p, rs, it = s
+        return jnp.logical_and(it < iters, rs > tol2)
+
+    def body(s):
+        x, r, p, rs, it = s
+        ap = matvec(p)
+        den = dot(p, ap)
+        alpha = jnp.where(den > 0.0, rs / jnp.where(den > 0.0, den, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = dot(r, r)
+        beta = jnp.where(rs > 0.0, rs_new / jnp.where(rs > 0.0, rs, 1.0), 0.0)
+        p = r + beta * p
+        return (x, r, p, rs_new, it + 1)
+
+    x, r, p, rs, it = jax.lax.while_loop(
+        cond, body, (x0, b32, b32, rs0, jnp.int32(0))
+    )
+    return x, rs, it
+
+
 def power_step(a, x, r, *, mesh: Mesh, ar: str = "f32"):
     """One full sharded iteration (the dryrun/training-step workload):
     y = A@x + r (TP psum over cols), nu = <y, y> (psum over rows),

@@ -160,3 +160,54 @@ def test_ptrsm_matches_local(mesh):
     )
     assert got.shape == (n, k)
     assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-4
+
+
+def test_pcg_matches_direct(mesh):
+    """Mesh-sharded CG on an SPD system converges to the direct solution,
+    with A (rows, cols)-sharded and every Krylov dot/matvec distributed."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from accblas_tpu.parallel import pcg
+
+    n = 512
+    m64 = gen_mtx(MatrixInfo(n, n), seed=21)
+    a64 = m64 @ m64.T / n + np.eye(n) * 2.0  # SPD, modest condition number
+    b64 = gen_mtx(MatrixInfo(1, n), seed=22)[0]
+    ref = np.linalg.solve(a64, b64)
+
+    a = jax.device_put(
+        jnp.asarray(a64, jnp.float32), NamedSharding(mesh, P("rows", "cols"))
+    )
+    b = jax.device_put(jnp.asarray(b64, jnp.float32), NamedSharding(mesh, P("cols")))
+    x, rs, it = jax.jit(
+        lambda a, b: pcg(a, b, mesh=mesh, iters=200, tol=1e-7)
+    )(a, b)
+    x = np.asarray(x, np.float64)
+    rel = np.linalg.norm(x - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+    assert int(it) <= 200
+
+
+def test_pcg_df64_dots(mesh):
+    """The df64 tier runs the Krylov dots through the exact cross-chip DF
+    combine and still converges (same solution, wider coefficients)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from accblas_tpu.parallel import pcg
+
+    n = 256
+    m64 = gen_mtx(MatrixInfo(n, n), seed=23)
+    a64 = m64 @ m64.T / n + np.eye(n) * 2.0
+    b64 = gen_mtx(MatrixInfo(1, n), seed=24)[0]
+    ref = np.linalg.solve(a64, b64)
+
+    a = jax.device_put(
+        jnp.asarray(a64, jnp.float32), NamedSharding(mesh, P("rows", "cols"))
+    )
+    b = jax.device_put(jnp.asarray(b64, jnp.float32), NamedSharding(mesh, P("cols")))
+    x, rs, it = jax.jit(
+        lambda a, b: pcg(a, b, mesh=mesh, iters=150, ar="df64", tol=1e-7)
+    )(a, b)
+    x = np.asarray(x, np.float64)
+    rel = np.linalg.norm(x - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
