@@ -17,6 +17,8 @@ sharded DOT/GEMV built from the same Pallas kernels:
   ops (the dryrun_multichip workload): y = alpha·A@x + beta·r, its norm via
   sharded DOT, then a normalized update — exercising both mesh axes, psum on
   each, and an XLA-inserted reshard between differently-sharded operands.
+- `pcg`: mesh-sharded conjugate gradients — the application tier scaled out,
+  with the Krylov dots optionally at df64 through the exact DF combine.
 
 Collectives ride ICI via the mesh; nothing here talks to DCN explicitly.
 """
