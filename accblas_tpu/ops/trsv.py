@@ -132,28 +132,39 @@ def _leaf_inverses(a, nb: int, block: int, leaf: int, lower: bool, unit: bool, i
     diagonal) so padding lanes solve to x = 0 against the zero-padded rhs."""
     m = nb * block // leaf
     d = _extract_leaf_diag(a, nb, block, leaf, interpret)  # (m, leaf, leaf) f32
-    r = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
-    tri = (r >= c) if lower else (r <= c)
-    keep = jnp.broadcast_to(tri[None], (m, leaf, leaf))
     ragged = n is not None and n != nb * block
+    offs = jnp.arange(m, dtype=jnp.int32) * leaf if ragged else None
+    inv = _masked_tri_inverse(d, lower, unit, n=n if ragged else None, offs=offs)
+    return inv.transpose(0, 2, 1).reshape(nb, block // leaf, leaf, leaf)
+
+
+def _masked_tri_inverse(d, lower: bool, unit: bool, *, n=None, offs=None):
+    """Inverse of a (g, s, s) stack of triangular blocks: zero the dead
+    triangle, force a unit diagonal if requested, and — when `offs` carries
+    per-block global row offsets against a logical size `n` — continue
+    past-`n` lanes as identity so padding solves to x = 0. The solve runs at
+    HIGHEST precision: TPU's default matmul precision truncates f32 operands
+    to bf16 inside XLA's blocked TriangularSolve, and this phase must match
+    the f32 Pallas/Mosaic dots in the sweep."""
+    s = d.shape[-1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    tri = (r >= c) if lower else (r <= c)
+    keep = jnp.broadcast_to(tri[None], d.shape)
+    ragged = offs is not None
     if ragged:
-        base = (jnp.arange(m, dtype=jnp.int32) * leaf)[:, None, None]
+        base = offs[:, None, None]
         keep = keep & ((base + r[None]) < n) & ((base + c[None]) < n)
     d = jnp.where(keep, d, 0.0)
     if unit:
         d = jnp.where((r == c)[None], 1.0, d)
     elif ragged:
         d = jnp.where((r == c)[None] & ((base + r[None]) >= n), 1.0, d)
-    eye = jnp.broadcast_to(jnp.eye(leaf, dtype=jnp.float32), (m, leaf, leaf))
-    # TPU's default matmul precision truncates f32 operands to bf16 inside
-    # XLA's blocked TriangularSolve — force true f32 (Pallas/Mosaic dots in
-    # the sweep are f32 regardless; this phase must match)
+    eye = jnp.broadcast_to(jnp.eye(s, dtype=jnp.float32), d.shape)
     with jax.default_matmul_precision("highest"):
-        inv = jax.lax.linalg.triangular_solve(
+        return jax.lax.linalg.triangular_solve(
             d, eye, left_side=True, lower=lower, unit_diagonal=False
         )
-    return inv.transpose(0, 2, 1).reshape(nb, block // leaf, leaf, leaf)
 
 
 def _dot_t(x, blk, precision):
@@ -477,19 +488,7 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     sizes = [block] * (nb - 1) + [n - (nb - 1) * block]
 
     def _inv_stack(ds):
-        """Masked inverse of a (g, s, s) stack of same-size diagonal blocks."""
-        s = ds.shape[-1]
-        r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        tri = (r >= c) if lower else (r <= c)
-        ds = jnp.where(tri[None], ds, 0.0)
-        if unit:
-            ds = jnp.where((r == c)[None], 1.0, ds)
-        eye = jnp.broadcast_to(jnp.eye(s, dtype=jnp.float32), ds.shape)
-        with jax.default_matmul_precision("highest"):
-            return jax.lax.linalg.triangular_solve(
-                ds, eye, left_side=True, lower=lower, unit_diagonal=False
-            )
+        return _masked_tri_inverse(ds, lower, unit)
 
     nfull = nb if sizes[-1] == block else nb - 1
     inv: list = [None] * nb
@@ -545,8 +544,10 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
     storage at VMEM-scale n, and wide multi-rhs panels (probe_r3g: at
     k=128 the XLA-composed schedule runs 24.9 vs 16.5 TF/s f32 and 44.5
     vs 17.9 bf16 at n=16384 — k=16 measured a tie, so the gate sits at
-    32). f8 storage stays on the Pallas sweep: XLA has no fast 8-bit
-    slice+convert feed, the Mosaic kernel loads fp8 tiles natively."""
+    32). f8 single-rhs solves at n > RESIDENT_N stay on the Pallas sweep
+    (XLA has no fast 8-bit slice+convert feed; the Mosaic kernel loads fp8
+    tiles natively) — but f8 wide panels and VMEM-scale solves route here
+    too, behind an upfront f32 materialization like bf16/f16."""
     if ar != "f32":
         return False
     if resident is True:
@@ -585,12 +586,15 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
     # schedule's fused slice+convert and wins (15.8 vs 11.8 at 512)
     if (k >= 32 and n <= 1024 and ar == "f32"
             and dtypes.canon(a.dtype) == "f32"
-            and resident is not False and interpret is None
+            and resident is None and interpret is None
             and jax.default_backend() == "tpu"):
-        x = jax.lax.linalg.triangular_solve(
-            a.astype(jnp.float32), b.astype(jnp.float32),
-            left_side=True, lower=lower, unit_diagonal=unit,
-        )
+        # HIGHEST, like every other f32 solve in this module: without it the
+        # TriangularSolve expansion truncates f32 dot operands to bf16
+        with jax.default_matmul_precision("highest"):
+            x = jax.lax.linalg.triangular_solve(
+                a.astype(jnp.float32), b.astype(jnp.float32),
+                left_side=True, lower=lower, unit_diagonal=unit,
+            )
         return x.astype(dtypes.jnp_dtype(st_out))
     # XLA-composed blocked substitution (f32 arithmetic only): all
     # f32/bf16/f16 single-rhs solves, any storage at small n, wide panels
@@ -670,12 +674,15 @@ def _check_bf16_envelope(a, n: int, ar: str, unstable_ok: bool, op: str):
 
 
 def trsv(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None,
-         resident=None):
+         resident=None, unstable_ok: bool = False):
     """Fixed-precision TRSV (reference ``trsv`` launcher,
     ``cuda/trsv_kernels.cuh:455-488``; the benchmark default is upper/unit,
     ``cuda/trsv_benchmark.cu:26-27``). A holds a full (e.g. LU-packed) matrix;
     only the selected triangle is read. `resident` selects the XLA-composed
-    small-n mode (default: auto by size on TPU)."""
+    small-n mode (default: auto by size on TPU). bf16 storage beyond
+    n=1024 warns like acc_trsv — the recurrence amplification is a property
+    of the storage, not the tier."""
+    _check_bf16_envelope(a, a.shape[0], "f32", unstable_ok, "trsv")
     return _trsv_impl(a, b, uplo, unit, interpret, st_out=dtypes.canon(b.dtype),
                       resident=resident)
 
@@ -704,17 +711,23 @@ def acc_trsv(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
         return x0.astype(dtypes.jnp_dtype(st_out))
     if ar != "df64":
         raise NotImplementedError(f"acc_trsv arithmetic {ar!r}")
+    if resident is True:
+        raise ValueError(
+            "acc_trsv ar='df64' runs the fused one-pass Pallas sweep; there "
+            "is no XLA-composed resident df64 mode (resident=True unsupported)"
+        )
     return _trsv_impl(a, b, uplo, unit, interpret, st_out=st_out,
                       resident=False, ar="df64")
 
 
 def trsm(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None,
-         resident=None):
+         resident=None, unstable_ok: bool = False):
     """Fixed-precision multi-RHS triangular solve: T X = B, B of shape (n, k).
 
     A capability beyond the reference (its TRSV design generalized:
     ``cuda/trsv_kernels.cuh:69-235`` carries one rhs; here the solved blocks
     ride as (k, B) row-panels so every per-step dot is an MXU GEMM)."""
+    _check_bf16_envelope(a, a.shape[0], "f32", unstable_ok, "trsm")
     return _trsm_impl(a, b, uplo, unit, interpret, st_out=dtypes.canon(b.dtype),
                       resident=resident)
 
@@ -733,30 +746,41 @@ def acc_trsm(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
         return x0.astype(dtypes.jnp_dtype(st_out))
     if ar != "df64":
         raise NotImplementedError(f"acc_trsm arithmetic {ar!r}")
+    if resident is True:
+        raise ValueError(
+            "acc_trsm ar='df64' runs the fused one-pass Pallas sweep; there "
+            "is no XLA-composed resident df64 mode (resident=True unsupported)"
+        )
     return _trsm_impl(a, b, uplo, unit, interpret, st_out=st_out,
                       resident=False, ar="df64")
 
 
 def xla_trsv(a, b, uplo: str = "upper", unit: bool = True):
     """Vendor-baseline tier (the cublas_trsv analogue,
-    ``cuda/trsv_kernels.cuh:964-1008``)."""
-    x = jax.lax.linalg.triangular_solve(
-        a.astype(jnp.float32),
-        b.astype(jnp.float32).reshape(-1, 1),
-        left_side=True,
-        lower=(uplo == "lower"),
-        unit_diagonal=unit,
-    )
+    ``cuda/trsv_kernels.cuh:964-1008``). Runs at HIGHEST precision like the
+    other f32 vendor baselines (xla_dot/xla_gemv): the reference's cuBLAS
+    fp32 tier is genuine IEEE f32, while TPU's default matmul precision
+    truncates f32 operands to bf16 inside the TriangularSolve expansion."""
+    with jax.default_matmul_precision("highest"):
+        x = jax.lax.linalg.triangular_solve(
+            a.astype(jnp.float32),
+            b.astype(jnp.float32).reshape(-1, 1),
+            left_side=True,
+            lower=(uplo == "lower"),
+            unit_diagonal=unit,
+        )
     return x.reshape(-1).astype(b.dtype)
 
 
 def xla_trsm(a, b, uplo: str = "upper", unit: bool = True):
-    """Vendor-baseline multi-RHS tier (cublasStrsm analogue)."""
-    x = jax.lax.linalg.triangular_solve(
-        a.astype(jnp.float32),
-        b.astype(jnp.float32),
-        left_side=True,
-        lower=(uplo == "lower"),
-        unit_diagonal=unit,
-    )
+    """Vendor-baseline multi-RHS tier (cublasStrsm analogue); HIGHEST
+    precision — see xla_trsv."""
+    with jax.default_matmul_precision("highest"):
+        x = jax.lax.linalg.triangular_solve(
+            a.astype(jnp.float32),
+            b.astype(jnp.float32),
+            left_side=True,
+            lower=(uplo == "lower"),
+            unit_diagonal=unit,
+        )
     return x.astype(b.dtype)

@@ -386,3 +386,34 @@ def test_trsv_f16_storage_public_api():
     B = jnp.asarray(np.stack([b64, 3 * b64], 1), jnp.float16)
     gotm = trsvops.trsm(a, B, uplo="upper", unit=False)
     assert _rel(gotm[:, 0], ref) < 6e-4
+
+
+def test_fixed_tier_bf16_envelope_warns():
+    """The fixed trsv/trsm entry points share acc_trsv's stability warning:
+    the recurrence amplification is a property of bf16 storage, not the tier."""
+    n = 2048
+    lu, b64 = _packed_lu(n, seed=80)
+    ab = jnp.asarray(lu, jnp.float32).astype(jnp.bfloat16)
+    b = jnp.asarray(b64, jnp.float32)
+    with pytest.warns(UserWarning, match="bf16-storage"):
+        trsvops.trsv(ab, b, unit=False)
+    with pytest.warns(UserWarning, match="bf16-storage"):
+        trsvops.trsm(ab, b.reshape(n, 1), unit=False)
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")
+        trsvops.trsv(ab, b, unit=False, unstable_ok=True)
+
+
+def test_df64_resident_true_rejected():
+    """There is no XLA-composed resident df64 mode; an explicit request must
+    fail loudly rather than silently running the Pallas sweep."""
+    n = 256
+    lu, b64 = _packed_lu(n, seed=81)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    with pytest.raises(ValueError, match="resident=True unsupported"):
+        trsvops.acc_trsv(a, b, unit=False, ar="df64", resident=True)
+    with pytest.raises(ValueError, match="resident=True unsupported"):
+        trsvops.acc_trsm(a, b.reshape(n, 1), unit=False, ar="df64", resident=True)
