@@ -29,4 +29,7 @@ run trsv_error 2400 python -m accblas_tpu.bench.trsv_benchmark --size 24576 --er
 echo "=== probe_r3l ($(date +%H:%M:%S))" | tee -a "$LOG"
 timeout 2400 python scripts/probe_r3l.py > bench_results/probe_r3l.log 2>&1
 echo "=== probe_r3l exit=$? ($(date +%H:%M:%S))" | tee -a "$LOG"
+echo "=== probe_r3n ($(date +%H:%M:%S))" | tee -a "$LOG"
+timeout 1800 python scripts/probe_r3n.py > bench_results/probe_r3n.log 2>&1
+echo "=== probe_r3n exit=$? ($(date +%H:%M:%S))" | tee -a "$LOG"
 echo "campaign_r3m done $(date +%H:%M:%S)" | tee -a "$LOG"
