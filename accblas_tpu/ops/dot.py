@@ -409,6 +409,12 @@ def dot(x, y, *, init=None, interpret=None, resident=None):
     `init` seeds the accumulator (default 0). `resident` selects the
     XLA-composed small-n mode (default: auto by size on TPU).
     """
+    if y.dtype != x.dtype:
+        raise ValueError(
+            f"fixed-tier dot needs matching storage dtypes, got x {x.dtype} "
+            f"y {y.dtype} (a wider y would be silently truncated — use "
+            "acc_dot for mixed storage)"
+        )
     ar = dtypes.check_arithmetic(x.dtype)  # f8 storage has no fixed tier
     hi, _ = _dot_call(x, y, ar, precise=False, interpret=interpret, init=init,
                       resident=resident)

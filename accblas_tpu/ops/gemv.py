@@ -111,6 +111,8 @@ def _gemv_small(a, x, res, alpha, beta, ar: str, precise: bool, st_out: str,
                 s_new = jnp.concatenate([s0, s_new[:, 1:]], 1)
                 err_new = jnp.concatenate([err0, err_new[:, 1:]], 1)
             s, err = s_new, err_new
+        if err is None:  # n == 1: the halving loop never ran (fast mode)
+            err = jnp.zeros_like(s)
         tot = dfm.DF(s[:, 0], err[:, 0])
         out = dfm.df_add(dfm.df_mul_f32(tot, jnp.float32(alpha)), dfm.df_from(rv))
         if df_out:
@@ -285,7 +287,12 @@ def _tail_prod(ra: Range, rx: Range, n: int, precise: bool):
     av = ra.load_raw(sl).astype(jnp.float32)
     xv = rx.load_raw(sl).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, av.shape, 1)
-    av = jnp.where(lane >= 128 - rtail, av, 0.0)
+    mask = lane >= 128 - rtail
+    # mask BOTH operands: the overlap lanes were already accumulated by the
+    # full chunks, and 0 * (inf|nan) from a masked-A-only product would
+    # poison them (the round-2 pad fallback multiplied by genuinely zero x)
+    av = jnp.where(mask, av, 0.0)
+    xv = jnp.where(mask, xv, 0.0)
     if precise:
         return dfm.two_prod(av, xv)
     return av * xv, None
@@ -423,22 +430,23 @@ def _gemv_fullrow_call(
     # GF/s there vs 373.7 at bm=32, matching XLA's 377.6).
     # 8-bit storage tiles at (32, 128) — its row panel floor is 32
     bm = 32 if itemsize == 1 else 8
-    while 2 * (2 * bm) * n * itemsize + n * 4 <= 7 * 2**23 and 2 * bm <= max(m, 8):
-        bm *= 2
-    # row-panel cap targets ~8 MiB per grid step: beyond that the DMA
-    # granularity wins nothing (measured at f32 24576, bm 128 vs 256 equal),
-    # but BELOW ~1 MiB the fixed per-step cost dominates — the dense-grid
-    # sweep measured bf16 at 0.68x XLA at n=3200 (461 vs 677 GF/s) with the
-    # old hard bm=128 cap, ramping to only 0.93x at 23680
-    bm_cap = 128
-    while bm_cap < 1024 and bm_cap * n * itemsize < 8 * 2**20:
-        bm_cap *= 2
-    bm = min(bm, bm_cap)
-    if ar == "df64":
+    if ar != "df64":
+        while (2 * (2 * bm) * n * itemsize + n * 4 <= 7 * 2**23
+               and 2 * bm <= max(m, 8)):
+            bm *= 2
+        # row-panel cap targets ~8 MiB per grid step: beyond that the DMA
+        # granularity wins nothing (measured at f32 24576, bm 128 vs 256
+        # equal), but BELOW ~1 MiB the fixed per-step cost dominates — the
+        # dense-grid sweep measured bf16 at 0.68x XLA at n=3200 (461 vs 677
+        # GF/s) with the old hard bm=128 cap, ramping to only 0.93x at 23680
+        bm_cap = 128
+        while bm_cap < 1024 and bm_cap * n * itemsize < 8 * 2**20:
+            bm_cap *= 2
+        bm = min(bm, bm_cap)
+    else:
         # the Kahan accumulators/chunk temporaries are (bm, 128)-small, so
         # the double-buffered input panel is the whole budget; measured
         # throughput rises with bm up to 128 (256 exhausts VMEM at n=16384)
-        bm = 32 if itemsize == 1 else 8
         # same per-step-volume floor as the plain path, but conservative
         # (256 max): the Kahan accumulators scale with bm, and 256 exhausted
         # the scoped VMEM at n=16384 under the old budget — allow it only
@@ -502,6 +510,33 @@ def _gemv_fullrow_call(
     return out.reshape(m)
 
 
+def _gemv_df_chunked(a, x, res, alpha, beta, precise: bool, interpret,
+                     chunk: int):
+    """Column-chunked df_out GEMV: per-chunk unrounded DF fullrow partials
+    (alpha=1, beta=0) combined with exact df_add, alpha/beta applied once in
+    DF — identical semantics to the single fullrow call, for operands past
+    its VMEM panel budget."""
+    m, n = a.shape
+    starts = list(range(0, n, chunk))
+    if len(starts) > 1 and n - starts[-1] < 128:
+        starts.pop()  # fold a sub-128 remainder into the previous chunk
+    zero = jnp.zeros((m,), jnp.float32)
+    tot = None
+    for i, c0 in enumerate(starts):
+        c1 = starts[i + 1] if i + 1 < len(starts) else n
+        part = _gemv_fullrow_call(
+            a[:, c0:c1], x[c0:c1], zero, 1.0, 0.0,
+            interpret, "f32", ar="df64", precise=precise, df_out=True,
+        )
+        tot = part if tot is None else dfm.df_add(tot, part)
+    rv = jnp.where(
+        beta == 0.0,
+        jnp.zeros((m,), jnp.float32),
+        res.astype(jnp.float32) * jnp.float32(beta),
+    )
+    return dfm.df_add(dfm.df_mul_f32(tot, jnp.float32(alpha)), dfm.df_from(rv))
+
+
 def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret,
                resident=None, df_out=False):
     if df_out and ar != "df64":
@@ -557,8 +592,10 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret,
     # ragged n rides the fullrow kernel's overlapping masked tail window
     # (zero-copy, see _tail_prod — replaces round 2's O(m·n) pad copy).
     # 8-bit storage keeps the pad fallback: the tail's unaligned slice sits
-    # outside Mosaic's (32, 128) 8-bit tile support.
-    if ar == "df64" and itemsize == 1 and n % 128 != 0 and not interpret:
+    # outside Mosaic's (32, 128) 8-bit tile support — gate on the NARROWER
+    # of a/x (an 8-bit x under a wider A takes the same unaligned slice)
+    min_item = min(itemsize, jnp.dtype(x.dtype).itemsize)
+    if ar == "df64" and min_item == 1 and n % 128 != 0 and not interpret:
         pad = 128 - n % 128
         a = jnp.pad(a, ((0, 0), (0, pad)))
         x = jnp.pad(x, (0, pad))
@@ -567,17 +604,28 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret,
     # the row panel must fit VMEM double-buffered even at the minimum bm
     # (8 rows; 32 for 8-bit storage whose native tile is (32, 128))
     min_bm = 32 if itemsize == 1 else 8
-    ragged_ok = n % 128 == 0 or (n >= 128 and itemsize > 1)
+    ragged_ok = n % 128 == 0 or (n >= 128 and min_item > 1)
     if fullrow_ok and ragged_ok and 2 * min_bm * n * itemsize <= 8 * 2**20:
         return _gemv_fullrow_call(
             a, x, res, alpha, beta, interpret, st_out, ar=ar, precise=precise,
             df_out=df_out,
         )
     if df_out:
-        raise NotImplementedError(
-            "df_out is served by the fullrow/resident df64 paths; this "
-            "operand shape routed to the 2-D colform kernel"
-        )
+        # Column-chunked exact fallback: one fullrow panel is budget-capped
+        # at 2*min_bm*n*itemsize <= 8 MiB (~131072 f32 columns) — beyond it,
+        # split the columns at the widest in-budget 128-multiple, emit each
+        # chunk's UNROUNDED DF partial (alpha=1, beta=0), and df_add exactly.
+        # Same combine discipline as parallel.pgemv, so the multi-chip df64
+        # tier has no per-shard width cap (the chunk slices cost one extra
+        # O(m*n) copy — a functional fallback, not the fast path).
+        if not fullrow_ok:
+            raise NotImplementedError(
+                "df_out requires a df64-capable storage dtype "
+                f"(got A {a.dtype}, x {x.dtype})"
+            )
+        chunk = max(128, (8 * 2**20 // (2 * min_bm * itemsize)) // 128 * 128)
+        return _gemv_df_chunked(a, x, res, alpha, beta, precise, interpret,
+                                chunk)
 
     # df64's compensated-fold temporaries live in VMEM: keep its row-block
     # at 512 (1024 OOMs the 16 MiB scoped budget with bf16 storage)
@@ -648,6 +696,12 @@ def gemv(a, x, res, alpha=1.0, beta=1.0, *, interpret=None, resident=None):
     """Fixed-precision GEMV: arithmetic == storage dtype (reference ``gemv``
     launcher, ``cuda/gemv_kernels.cuh:136-147``). `resident` selects the
     XLA-composed small-matrix mode (default: auto by size on TPU)."""
+    if x.dtype != a.dtype:
+        raise ValueError(
+            f"fixed-tier gemv needs matching storage dtypes, got A {a.dtype} "
+            f"x {x.dtype} (a wider x would be silently truncated to A's "
+            "dtype — use acc_gemv for mixed storage)"
+        )
     ar = dtypes.check_arithmetic(a.dtype)  # f8 storage has no fixed tier
     return _gemv_call(a, x, res, alpha, beta, ar, precise=False,
                       interpret=interpret, resident=resident)
@@ -674,7 +728,11 @@ def xla_gemv(a, x, res, alpha=1.0, beta=1.0):
 
     f32 operands run at HIGHEST precision (TPU default truncates f32 matmul
     operands to bf16 — the reference's cuBLAS fp32 was genuine f32); narrow
-    operands are natively exact on the MXU.
+    operands are natively exact on the MXU. beta == 0 does not read res
+    (cublasSgemv semantics, ``cuda/gemv_kernels.cuh:58-63`` — an
+    uninitialized res must not poison the output).
     """
     prec = jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
-    return (alpha * jnp.matmul(a, x, precision=prec) + beta * res).astype(res.dtype)
+    rv = jnp.where(beta == 0.0, jnp.zeros_like(res, jnp.float32),
+                   beta * res.astype(jnp.float32))
+    return (alpha * jnp.matmul(a, x, precision=prec) + rv).astype(res.dtype)

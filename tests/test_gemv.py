@@ -253,3 +253,74 @@ def test_acc_gemv_narrow_storage_tiers(st, resident):
         np.float64,
     )
     assert np.max(np.abs(got_df - ref)) / np.max(np.abs(ref)) < 1e-6
+
+
+def test_gemv_df64_single_column():
+    """n == 1: the resident df64 fast-mode fold has no halving steps — the
+    error side-channel must default to zero, not crash (review fix)."""
+    from accblas_tpu.ops.df64 import df_to_f32
+
+    m = 64
+    a64, x64, r64 = _data(m, 1, seed=91)
+    ref = a64 @ x64 + r64
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    got = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", resident=True)
+    assert _rel(got, ref) < 1e-6
+    df = gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64", resident=True,
+                          df_out=True)
+    assert _rel(df_to_f32(df), ref) < 1e-6
+
+
+def test_gemv_df_chunked_matches_single():
+    """The column-chunked df_out fallback (operands past the fullrow VMEM
+    budget, e.g. large per-chip shards in parallel.pgemv) is exactly the
+    single-call result: unrounded DF partials + df_add is associative-exact
+    here because every partial is exact to the fold's compensation."""
+    from accblas_tpu.ops.df64 import df_to_f64
+    from accblas_tpu.ops.gemv import _gemv_df_chunked
+
+    m, n = 32, 640
+    a64, x64, r64 = _data(m, n, seed=92)
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    # oracle over the f32-rounded STORAGE values: df64 arithmetic is exact
+    # far below the storage floor, so the fp64 master would differ at ~3e-8
+    ref = (2.0 * np.asarray(a, np.float64) @ np.asarray(x, np.float64)
+           + 0.5 * np.asarray(r, np.float64))
+    single = gemvops.acc_gemv(a, x, r, 2.0, 0.5, ar="df64", precise=True,
+                              resident=False, df_out=True)
+    chunked = _gemv_df_chunked(a, x, r, 2.0, 0.5, True, True, 256)
+    # the fullrow kernel's Kahan chains target the f32 STORAGE floor (the
+    # reference's ~4e-8 plot value), not full df64 width — the chunked
+    # combine must land in the same class as the single call (it is often
+    # better: short chunks have fewer compensated steps)
+    nrm = np.linalg.norm(ref, 1)
+    assert np.linalg.norm(df_to_f64(chunked) - ref, 1) / nrm < 1e-7
+    assert np.linalg.norm(df_to_f64(single) - ref, 1) / nrm < 1e-7
+    assert np.linalg.norm(df_to_f64(chunked) - df_to_f64(single), 1) / nrm < 1e-7
+
+
+def test_gemv_fixed_mixed_dtypes_rejected():
+    a64, x64, r64 = _data(32, 64, seed=93)
+    a = jnp.asarray(a64, jnp.float32).astype(jnp.bfloat16)
+    x = jnp.asarray(x64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    with pytest.raises(ValueError, match="matching storage dtypes"):
+        gemvops.gemv(a, x, r)
+
+
+def test_xla_gemv_beta0_ignores_res():
+    """cublasSgemv semantics: beta == 0 must not read res (an uninitialized
+    buffer full of NaN must not poison the output)."""
+    m, n = 64, 128
+    a64, x64, _ = _data(m, n, seed=94)
+    ref = 1.5 * a64 @ x64
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    r_nan = jnp.full((m,), jnp.nan, jnp.float32)
+    got = gemvops.xla_gemv(a, x, r_nan, 1.5, 0.0)
+    assert np.all(np.isfinite(np.asarray(got)))
+    assert _rel(got, ref) < 1e-5
