@@ -67,6 +67,21 @@ def _dot_small(x, y, ar: str, precise: bool, init):
     and pairwise accumulation in the arithmetic dtype.
     """
     if ar == "df64":
+        init_f = (jnp.float32(0.0) if init is None
+                  else jnp.asarray(init, jnp.float32))  # traced init ok
+        if jnp.float64 in (x.dtype, y.dtype):
+            # exact two-word split per the accessor contract
+            # (range.load_cast: truncating f64 storage to one f32 would
+            # silently drop ~29 bits) — CPU/x64 only; products and the fold
+            # run full df64, oracle-style (ops/oracle.py)
+            def _split(v):
+                hi = v.astype(jnp.float32)
+                lo = (v - hi.astype(v.dtype)).astype(jnp.float32)
+                return dfm.DF(hi, lo)
+
+            tot = dfm.df_sum(dfm.df_mul(_split(x), _split(y)))
+            tot = dfm.df_add(tot, dfm.df_from(init_f))
+            return tot.hi, tot.lo
         xa = x.astype(jnp.float32)
         ya = y.astype(jnp.float32)
         if precise:
@@ -77,7 +92,7 @@ def _dot_small(x, y, ar: str, precise: bool, init):
         e2 = as_rows128(e) if e is not None else None
         d = dfm.cascaded_fold(p2, out_rows=8, err=e2)
         tot = dfm.df_fold_lanes(dfm.df_fold_rows(d, 1), 1)
-        tot = dfm.df_add(tot, dfm.df_from(jnp.float32(0.0 if init is None else init)))
+        tot = dfm.df_add(tot, dfm.df_from(init_f))
         return tot.hi[0, 0], tot.lo[0, 0]
     ar_dt = dtypes.jnp_dtype(ar)
     if ar == "f32":
@@ -272,6 +287,18 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
         raise ValueError(f"dot expects equal-length vectors, got {x.shape} {y.shape}")
     if interpret is None:
         interpret = interpret_default()
+    if ar == "df64" and jnp.float64 in (x.dtype, y.dtype):
+        # f64 storage (CPU/x64 only): the exact-split composition at every
+        # size — the streaming kernel's f32-carrier load would truncate
+        return _dot_small(x, y, ar, precise, init)
+    if ar == "df64" and not interpret:
+        # Mosaic has no f16 type, and the resident composition materializes
+        # ~4x f32 temporaries (unsafe at sweep scales) — upcast f16 EXACTLY
+        # to f32 once and stream the f32 df64 Pallas kernel instead
+        if x.dtype == jnp.float16:
+            x = x.astype(jnp.float32)
+        if y.dtype == jnp.float16:
+            y = y.astype(jnp.float32)
     in_bytes = x.shape[0] * (x.dtype.itemsize + y.dtype.itemsize)
     auto_resident = resident is None
     if auto_resident:
@@ -444,7 +471,10 @@ def acc_dot(
     if ar == "df64":
         out = dfm.DF(hi, lo)
         if res_dtype is not None:
-            return dfm.df_to_f32(out).astype(dtypes.jnp_dtype(dtypes.canon(res_dtype)))
+            rd = dtypes.canon(res_dtype)
+            if rd == "f64":  # wider-than-f32 request: keep the df64 width
+                return dfm.df_to_f64(out)
+            return dfm.df_to_f32(out).astype(dtypes.jnp_dtype(rd))
         return out
     out = hi.astype(dtypes.jnp_dtype(ar))
     if res_dtype is not None:
@@ -459,7 +489,10 @@ def xla_dot(x, y):
     f32 operands run at HIGHEST precision: the TPU default truncates f32 dot
     operands to bf16, which would make the 'XLA DOT fp32' baseline label a lie
     (the reference's cuBLAS fp32 tier is genuine IEEE f32). Narrow operands
-    (bf16/f16) are natively exact on the MXU — no override needed.
+    (bf16/f16) are natively exact on the MXU — no override needed. The gate
+    checks BOTH operands: a mixed bf16/f32 pair promotes to an f32 dot whose
+    f32 side the default would truncate.
     """
-    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    prec = (jax.lax.Precision.HIGHEST
+            if jnp.float32 in (x.dtype, y.dtype) else None)
     return jnp.dot(x, y, precision=prec)

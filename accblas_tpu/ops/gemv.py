@@ -548,6 +548,15 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret,
         interpret = interpret_default()
     st_out = dtypes.canon(res.dtype)
 
+    if ar == "df64" and not interpret:
+        # Mosaic has no f16 type, and forcing the resident composition at
+        # sweep scales materializes multi-GiB f32 temporaries — upcast f16
+        # EXACTLY to f32 once and stream the f32 df64 fullrow kernel
+        if a.dtype == jnp.float16:
+            a = a.astype(jnp.float32)
+        if x.dtype == jnp.float16:
+            x = x.astype(jnp.float32)
+
     auto_resident = resident is None
     if auto_resident:
         resident = (
@@ -732,7 +741,8 @@ def xla_gemv(a, x, res, alpha=1.0, beta=1.0):
     (cublasSgemv semantics, ``cuda/gemv_kernels.cuh:58-63`` — an
     uninitialized res must not poison the output).
     """
-    prec = jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
+    prec = (jax.lax.Precision.HIGHEST
+            if jnp.float32 in (a.dtype, x.dtype) else None)
     rv = jnp.where(beta == 0.0, jnp.zeros_like(res, jnp.float32),
                    beta * res.astype(jnp.float32))
     return (alpha * jnp.matmul(a, x, precision=prec) + rv).astype(res.dtype)

@@ -245,3 +245,72 @@ def test_fixed_tier_rejects_f8():
         dotops.dot(x, x)
     with pytest.raises(ValueError, match="storage-only"):
         dotops.acc_dot(x, x, ar="f8e4m3")
+
+
+def test_dot_df64_traced_init():
+    """A loop-carried (traced) init must work in the resident df64 path —
+    the benchmark-loop chaining pattern (review fix: np.float32(Tracer)
+    raised ConcretizationTypeError)."""
+    import jax
+
+    n = 1024
+    x64 = gen_mtx(MatrixInfo(1, n), seed=61)[0]
+    y64 = gen_mtx(MatrixInfo(1, n), seed=62)[0]
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+
+    @jax.jit
+    def f(x, y, c):
+        out = dotops.acc_dot(x, y, ar="df64", init=c, resident=True)
+        return out.hi + out.lo
+
+    got = float(f(x, y, jnp.float32(3.0)))
+    ref = float(np.asarray(x, np.float64) @ np.asarray(y, np.float64)) + 3.0
+    assert abs(got - ref) / abs(ref) < 1e-6
+
+
+def test_dot_df64_over_f64_exact_split():
+    """f64 storage under df64 arithmetic loads as an exact two-word split
+    (the accessor contract, range.load_cast) — NOT a single truncated f32.
+    CPU/x64 only; accuracy must be df64-class (~1e-13), not f32-floor."""
+    from jax import enable_x64
+
+    from accblas_tpu.ops.df64 import df_to_f64
+
+    n = 4096
+    x64 = gen_mtx(MatrixInfo(1, n), seed=63)[0]
+    y64 = gen_mtx(MatrixInfo(1, n), seed=64)[0]
+    with enable_x64():
+        x = jnp.asarray(x64, jnp.float64)
+        y = jnp.asarray(y64, jnp.float64)
+        out = dotops.acc_dot(x, y, ar="df64")
+        got = float(df_to_f64(out))
+    ref = x64 @ y64
+    assert abs(got - ref) / abs(ref) < 1e-12
+
+
+def test_dot_res_dtype_f64_keeps_width():
+    """res_dtype='f64' must deliver the df64 width (hi+lo in f64), not a
+    round-trip through f32 (the cast_result analogue, review fix)."""
+    from jax import enable_x64
+
+    n = 4096
+    x64 = gen_mtx(MatrixInfo(1, n), seed=65)[0]
+    y64 = gen_mtx(MatrixInfo(1, n), seed=66)[0]
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    ref = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+    with enable_x64():
+        got = dotops.acc_dot(x, y, ar="df64", precise=True, res_dtype="f64")
+        assert got.dtype == jnp.float64
+        got = float(got)
+    assert abs(got - ref) / abs(ref) < 1e-12
+
+
+def test_dot_fixed_mixed_dtypes_rejected():
+    n = 256
+    x64 = gen_mtx(MatrixInfo(1, n), seed=67)[0]
+    x = jnp.asarray(x64, jnp.float32)
+    y = x.astype(jnp.bfloat16)
+    with pytest.raises(ValueError, match="matching storage dtypes"):
+        dotops.dot(x, y)
