@@ -48,7 +48,10 @@ __all__ = [
     "df_to_f64",
     "df_zeros",
     "df_sum",
-    "df_where",
+    "cascaded_fold",
+    "cascaded_fold_mid",
+    "df_fold_rows",
+    "df_fold_lanes",
 ]
 
 # 2^12 + 1: Dekker split constant for float32. Kept as a Python literal (not a
@@ -72,11 +75,20 @@ def fast_two_sum(a, b):
 
 
 def _split(a):
-    """Veltkamp multiply split (11/12-bit halves, |lo| <= ulp(hi)/2)."""
-    c = _SPLIT * a
-    hi = c - (c - a)
-    lo = a - hi
-    return hi, lo
+    """Veltkamp multiply split (11/12-bit halves, |lo| <= ulp(hi)/2).
+
+    |a| > ~2^115 would overflow the ``_SPLIT * a`` step (inf - inf -> NaN
+    error terms for products that are themselves finite, e.g.
+    2^120 * 2^-100); pre-scale those operands by an exact power of two so
+    this fallback matches the mask split's full-range validity.
+    """
+    big = jnp.abs(a) > jnp.float32(2.0**115)
+    a_s = jnp.where(big, a * jnp.float32(2.0**-32), a)
+    c = _SPLIT * a_s
+    hi = c - (c - a_s)
+    lo = a_s - hi
+    up = jnp.where(big, jnp.float32(2.0**32), jnp.float32(1.0))
+    return hi * up, lo * up
 
 
 def _split_mask(a):
@@ -157,9 +169,6 @@ class DF:
     def reshape(self, *shape):
         return DF(self.hi.reshape(*shape), self.lo.reshape(*shape))
 
-    def astype_df(self):
-        return self
-
     # arithmetic --------------------------------------------------------
     def __add__(self, other):
         return df_add(self, df_from(other))
@@ -173,10 +182,11 @@ class DF:
         return df_sub(df_from(other), self)
 
     def __mul__(self, other):
-        other = df_from(other)
         if isinstance(other, DF):
             return df_mul(self, other)
-        return df_mul_f32(self, other)
+        # f32 (or python-scalar) operand: cheaper df_mul_f32 path — no
+        # promotion first, which would hide this fast path forever.
+        return df_mul_f32(self, jnp.asarray(other, jnp.float32))
 
     __rmul__ = __mul__
 
@@ -298,17 +308,15 @@ def cascaded_fold_mid(p, err=None) -> DF:
     """
     s = p
     k = s.shape[1]
-    assert (k & (k - 1)) == 0, k
+    assert k > 0 and (k & (k - 1)) == 0, k
     while s.shape[1] > 1:
         half = s.shape[1] // 2
         s, e = two_sum(s[:, :half], s[:, half:])
         err = e if err is None else err[:, :half] + err[:, half:] + e
+    # err folds in lockstep with s, so it is already (M, 1) here (or was
+    # provided as (M, 1) when K == 1).
     if err is None:
         err = jnp.zeros_like(s)
-    else:
-        while err.shape[1] > 1:
-            half = err.shape[1] // 2
-            err = err[:, :half] + err[:, half:]
     return DF(s[:, 0], err[:, 0])
 
 
@@ -316,7 +324,13 @@ def df_fold_rows(x: DF, out_rows: int = 1) -> DF:
     """Pairwise df_add fold of DF (R, L) rows down to (out_rows, L)."""
     cur = x
     rows = cur.shape[0]
-    assert rows >= out_rows and (rows & (rows - 1)) == 0, rows
+    # out_rows must itself be a power of two so the halving loop lands on it
+    # exactly (8 -> 3 would silently stop at 2).
+    assert (
+        0 < out_rows <= rows
+        and (rows & (rows - 1)) == 0
+        and (out_rows & (out_rows - 1)) == 0
+    ), (rows, out_rows)
     while cur.shape[0] > out_rows:
         half = cur.shape[0] // 2
         cur = df_add(cur[:half], cur[half:])
@@ -327,7 +341,11 @@ def df_fold_lanes(x: DF, out_lanes: int = 1) -> DF:
     """Pairwise df_add fold along the last (lane) axis."""
     cur = x
     lanes = cur.shape[-1]
-    assert lanes >= out_lanes and (lanes & (lanes - 1)) == 0, lanes
+    assert (
+        0 < out_lanes <= lanes
+        and (lanes & (lanes - 1)) == 0
+        and (out_lanes & (out_lanes - 1)) == 0
+    ), (lanes, out_lanes)
     while cur.shape[-1] > out_lanes:
         half = cur.shape[-1] // 2
         cur = df_add(
@@ -335,10 +353,6 @@ def df_fold_lanes(x: DF, out_lanes: int = 1) -> DF:
             DF(cur.hi[..., half:], cur.lo[..., half:]),
         )
     return cur
-
-
-def df_where(mask, x: DF, y: DF) -> DF:
-    return DF(jnp.where(mask, x.hi, y.hi), jnp.where(mask, x.lo, y.lo))
 
 
 def df_sum(x: DF, axis=None) -> DF:
@@ -384,13 +398,14 @@ def df_sum(x: DF, axis=None) -> DF:
             DF(cur.hi[half : 2 * half], cur.lo[half : 2 * half]),
         )
         if n % 2:
-            # fold the odd leftover slice into slot 0
-            tail = DF(cur.hi[2 * half], cur.lo[2 * half])
-            first = df_add(DF(folded.hi[0], folded.lo[0]), tail)
+            # carry the odd leftover slice to the next level (concatenate,
+            # not .at[0].set — scatter doesn't lower inside Pallas kernels)
             folded = DF(
-                folded.hi.at[0].set(first.hi),
-                folded.lo.at[0].set(first.lo),
+                jnp.concatenate([folded.hi, cur.hi[2 * half :]], 0),
+                jnp.concatenate([folded.lo, cur.lo[2 * half :]], 0),
             )
-        n = half
+            n = half + 1
+        else:
+            n = half
         cur = folded
     return DF(cur.hi[0], cur.lo[0])

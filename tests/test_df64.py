@@ -140,3 +140,54 @@ def test_two_prod_mask_split_exact_bulk():
     exact2 = a2.astype(np.float64) * b2.astype(np.float64)
     got2 = np.asarray(p2, np.float64) + np.asarray(e2, np.float64)
     assert np.array_equal(got2, exact2)
+
+
+def test_veltkamp_split_huge_magnitudes():
+    """The scalar/narrow-shape fallback split must survive |a| > 2^115 (where
+    an unscaled Veltkamp split overflows to NaN error terms) — shape (n, 1)
+    forces the multiply-split path in two_prod."""
+    a = jnp.asarray(np.array([[2.0**120], [-2.0**125], [3.0]], np.float32))
+    b = jnp.asarray(np.array([[2.0**-100], [2.0**-110], [0.5]], np.float32))
+    p, e = df64.two_prod(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    np.testing.assert_array_equal(got, exact)
+
+
+def test_df_mul_scalar_fast_path():
+    """DF * f32 scalar must take df_mul_f32 (not promote to a full df_mul)
+    and stay exact."""
+    rng = np.random.default_rng(3)
+    x = df64.df_from(jnp.asarray(rng.uniform(-1, 1, 64).astype(np.float32)))
+    y = np.float32(1.7)
+    via_op = x * float(y)
+    via_fn = df64.df_mul_f32(x, jnp.float32(y))
+    np.testing.assert_array_equal(np.asarray(via_op.hi), np.asarray(via_fn.hi))
+    np.testing.assert_array_equal(np.asarray(via_op.lo), np.asarray(via_fn.lo))
+    ref = np.asarray(x.hi, np.float64) * np.float64(y)
+    np.testing.assert_allclose(df64.df_to_f64(via_op), ref, rtol=1e-13)
+
+
+def test_df_fold_rows_rejects_unreachable_target():
+    import pytest
+
+    x = df64.df_from(jnp.ones((8, 128), jnp.float32))
+    with pytest.raises(AssertionError):
+        df64.df_fold_rows(x, out_rows=3)
+    with pytest.raises(AssertionError):
+        df64.df_fold_lanes(x, out_lanes=3)
+    # power-of-two targets still work
+    assert df64.df_fold_rows(x, out_rows=2).shape == (2, 128)
+    assert df64.df_fold_lanes(x, out_lanes=32).shape == (8, 32)
+
+
+def test_df_sum_axis_odd_lengths():
+    """Odd fold leftovers on the int-axis path (now concatenate-carried, no
+    scatter) must stay exact-class for every small length."""
+    rng = np.random.default_rng(11)
+    for n in (2, 3, 5, 7, 9, 33):
+        x32 = rng.uniform(-1, 1, (n, 16)).astype(np.float32)
+        x = df64.df_from(jnp.asarray(x32))
+        got = df64.df_to_f64(df64.df_sum(x, axis=0))
+        ref = np.asarray(x32, np.float64).sum(0)
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
