@@ -45,18 +45,26 @@ class CGState(NamedTuple):
     it: jnp.ndarray
 
 
-def cg(a, b, *, iters: int = 50, ar: str = "f32", tol: float = 0.0):
+def cg(a, b, *, iters: int = 50, ar: str = "f32", tol: float = 0.0,
+       matvec=None, dot=None):
     """Conjugate gradients on an SPD matrix with accessor kernels.
 
     Storage dtype comes from `a` (bf16/f16/f32); `ar` sets the arithmetic
     tier for the matvec and the two dot products per iteration ('f32' or
     'df64' — df64 dots stabilize the recurrence when storage is narrow).
     Returns (x, final |r|^2, iterations run).
+
+    `matvec(p) -> f32 vector` and `dot(u, v) -> f32 scalar` may be injected
+    to run the same recurrence over different kernels — `parallel.pcg`
+    passes mesh-sharded closures so the guarded-update logic lives in
+    exactly one place.
     """
+    mv = matvec if matvec is not None else (lambda p: _matvec(a, p, ar))
+    dt = dot if dot is not None else (lambda u, v: _dot(u, v, ar))
     b32 = b.astype(jnp.float32)
     x0 = jnp.zeros_like(b32)
     r0 = b32
-    state0 = CGState(x0, r0, r0, _dot(r0, r0, ar), jnp.int32(0))
+    state0 = CGState(x0, r0, r0, dt(r0, r0), jnp.int32(0))
     if tol == 0.0:
         # fixed iteration budget: no residual exit at all. (An rs > 0 guard
         # still trips on TPU once a converged recurrence underflows rs to
@@ -64,7 +72,7 @@ def cg(a, b, *, iters: int = 50, ar: str = "f32", tol: float = 0.0):
         # benchmark runs into ~10-iteration runs.)
         tol2 = jnp.float32(-1.0)
     else:
-        tol2 = jnp.float32(tol) ** 2 * _dot(b32, b32, ar)
+        tol2 = jnp.float32(tol) ** 2 * dt(b32, b32)
 
     def cond(s: CGState):
         return jnp.logical_and(s.it < iters, s.rs > tol2)
@@ -73,12 +81,12 @@ def cg(a, b, *, iters: int = 50, ar: str = "f32", tol: float = 0.0):
         # guarded updates: once the recurrence has fully converged (rs can
         # underflow to exact 0 — TPU flushes subnormals), remaining
         # fixed-budget iterations become inert instead of 0/0 -> NaN
-        ap = _matvec(a, s.p, ar)
-        den = _dot(s.p, ap, ar)
+        ap = mv(s.p)
+        den = dt(s.p, ap)
         alpha = jnp.where(den > 0.0, s.rs / jnp.where(den > 0.0, den, 1.0), 0.0)
         x = s.x + alpha * s.p
         r = s.r - alpha * ap
-        rs_new = _dot(r, r, ar)
+        rs_new = dt(r, r)
         beta = jnp.where(s.rs > 0.0, rs_new / jnp.where(s.rs > 0.0, s.rs, 1.0), 0.0)
         p = r + beta * s.p
         return CGState(x, r, p, rs_new, s.it + 1)

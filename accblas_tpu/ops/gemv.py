@@ -371,12 +371,20 @@ def _gemv_fullrow_kernel(
         if n % 128:
             # ragged tail via the overlapping masked window (zero-copy)
             p, e = _tail_prod(ra, rx, n, precise)
-            if e is not None:
-                e_acc = e_acc + e
-            y = p - cs[0]
-            t = ss[0] + y
-            cs[0] = (t - ss[0]) - y
-            ss[0] = t
+            if not ss:
+                # whole row shorter than one lane chunk (tiny shards in
+                # parallel.pgemv): the masked tail IS the accumulator seed
+                ss, cs = [p], [jnp.zeros_like(p)]
+                chains = 1
+                if e is not None:
+                    e_acc = e
+            else:
+                if e is not None:
+                    e_acc = e_acc + e
+                y = p - cs[0]
+                t = ss[0] + y
+                cs[0] = (t - ss[0]) - y
+                ss[0] = t
         # combine chains exactly; the final Kahan residual is -c
         tot = dfm.DF(ss[0], -cs[0])
         for ch in range(1, chains):
@@ -407,7 +415,11 @@ def _gemv_fullrow_kernel(
         ss[ch] = ss[ch] + p
     if n % 128:
         p, _ = _tail_prod(ra, rx, n, False)
-        ss[0] = ss[0] + p
+        if not ss:
+            ss = [p]
+            chains = 1
+        else:
+            ss[0] = ss[0] + p
     s = ss[0]
     for ch in range(1, chains):
         s = s + ss[ch]
@@ -529,12 +541,15 @@ def _gemv_df_chunked(a, x, res, alpha, beta, precise: bool, interpret,
             interpret, "f32", ar="df64", precise=precise, df_out=True,
         )
         tot = part if tot is None else dfm.df_add(tot, part)
+    beta32 = jnp.asarray(beta, jnp.float32)  # asarray: beta may be traced
     rv = jnp.where(
-        beta == 0.0,
+        beta32 == 0.0,
         jnp.zeros((m,), jnp.float32),
-        res.astype(jnp.float32) * jnp.float32(beta),
+        res.astype(jnp.float32) * beta32,
     )
-    return dfm.df_add(dfm.df_mul_f32(tot, jnp.float32(alpha)), dfm.df_from(rv))
+    return dfm.df_add(
+        dfm.df_mul_f32(tot, jnp.asarray(alpha, jnp.float32)), dfm.df_from(rv)
+    )
 
 
 def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret,
@@ -620,6 +635,13 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret,
             df_out=df_out,
         )
     if df_out:
+        # Sub-chunk rows (n < 128, e.g. tiny shards under parallel.pgemv)
+        # can't ride the fullrow kernel's overlapping tail window
+        # (_tail_prod needs n >= 128) — they're VMEM-scale, use the exact
+        # resident composition which also emits DF.
+        if n < 128:
+            return _gemv_small(a, x, res, alpha, beta, ar, precise, st_out,
+                               df_out=True)
         # Column-chunked exact fallback: one fullrow panel is budget-capped
         # at 2*min_bm*n*itemsize <= 8 MiB (~131072 f32 columns) — beyond it,
         # split the columns at the widest in-budget 128-multiple, emit each

@@ -109,6 +109,12 @@ def pgemv(
     the same discipline as pdot's combine (a component-wise psum of hi/lo
     would silently drop the hi-sum rounding). f32/fixed tiers use one psum."""
 
+    # beta == 0 (static) must not read res — it may be uninitialized
+    # (0.0 * NaN = NaN); same vendor semantics the kernel epilogues and
+    # xla_gemv enforce. Traced alpha/beta stay runtime values (asarray, not
+    # np.float32 which would concretize a tracer).
+    beta_is_static_zero = isinstance(beta, (int, float)) and float(beta) == 0.0
+
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -125,14 +131,21 @@ def pgemv(
             his = jax.lax.all_gather(part.hi, col_axis)  # (n_shards, m_local)
             los = jax.lax.all_gather(part.lo, col_axis)
             tot = dfm.df_sum(dfm.DF(his, los), axis=0)
-            out = dfm.df_add(
-                dfm.df_mul_f32(tot, jnp.float32(alpha)),
-                dfm.df_from(r_blk.astype(jnp.float32) * jnp.float32(beta)),
-            )
+            out = dfm.df_mul_f32(tot, jnp.asarray(alpha, jnp.float32))
+            if not beta_is_static_zero:
+                out = dfm.df_add(
+                    out,
+                    dfm.df_from(
+                        r_blk.astype(jnp.float32) * jnp.asarray(beta, jnp.float32)
+                    ),
+                )
             return dfm.df_to_f32(out).astype(r_blk.dtype)
         part = gemvops.acc_gemv(a_blk, x_blk, zero, 1.0, 0.0, ar=ar)
         total = jax.lax.psum(part, col_axis)
-        return (alpha * total + beta * r_blk.astype(jnp.float32)).astype(r_blk.dtype)
+        out = alpha * total
+        if not beta_is_static_zero:
+            out = out + beta * r_blk.astype(jnp.float32)
+        return out.astype(r_blk.dtype)
 
     return f(a, x, res)
 
@@ -175,66 +188,44 @@ def _df_or_f32(v):
     return dfm.df_to_f32(v) if isinstance(v, dfm.DF) else v.astype(jnp.float32)
 
 
-def pcg(a, b, *, mesh: Mesh, iters: int = 50, ar: str = "f32", tol: float = 0.0):
+def pcg(a, b, *, mesh: Mesh, iters: int = 50, ar: str = "f32", tol: float = 0.0,
+        row_axis: str = "rows", col_axis: str = "cols"):
     """Mesh-sharded conjugate gradients — the application tier scaled out.
 
-    Same recurrence as ``models.solvers.cg`` (fixed budget, guarded updates)
-    but every matvec is a tensor-parallel `pgemv` (psum over the cols axis)
-    and every dot a sharded `pdot`; the reference has no distributed code at
-    all (SURVEY.md §2 "Parallelism & communication"). A is (rows, cols)-
-    sharded; all vectors live cols-sharded and the rows-sharded matvec
-    output reshards back via `with_sharding_constraint` (XLA inserts the
-    all-to-all over ICI, exactly as in `power_step`). `ar` sets the tier of
-    the three Krylov dots per iteration — `ar='df64'` runs them through the
-    exact cross-chip DF combine, so the recurrence coefficients keep
-    double-float width even though each chip only ever sees a shard; the
-    matvec streams A's storage with f32 MXU accumulation either way (the
-    storage-bound piece — the same dot-tier/storage-tier split the
-    single-chip solver benchmark measures, `bench/solvers_benchmark.py`).
+    Literally ``models.solvers.cg`` — the guarded fixed-budget recurrence
+    lives there, in one place — with mesh-sharded closures injected: every
+    matvec is a tensor-parallel `pgemv` (psum over `col_axis`) and every dot
+    a sharded `pdot`; the reference has no distributed code at all
+    (SURVEY.md §2 "Parallelism & communication"). A is (rows, cols)-sharded;
+    all vectors live cols-sharded and the rows-sharded matvec output
+    reshards back via `with_sharding_constraint` (XLA inserts the
+    all-to-all over ICI, exactly as in `power_step`). `ar` sets the
+    arithmetic tier of the matvec and the two Krylov dots per iteration,
+    matching the single-chip solver — `ar='df64'` routes the dots through
+    the exact cross-chip DF combine, so the recurrence coefficients keep
+    double-float width even though each chip only ever sees a shard.
 
     Returns (x cols-sharded, final |r|^2, iterations run).
     """
-    cols = NamedSharding(mesh, P("cols"))
+    from ..models import solvers
+
+    cols = NamedSharding(mesh, P(col_axis))
     b32 = jax.lax.with_sharding_constraint(b.astype(jnp.float32), cols)
     zero_rows = jax.lax.with_sharding_constraint(
-        jnp.zeros_like(b32), NamedSharding(mesh, P("rows"))
+        jnp.zeros_like(b32), NamedSharding(mesh, P(row_axis))
     )
 
     def matvec(p):
-        ap = pgemv(a, p.astype(a.dtype), zero_rows, 1.0, 0.0, ar="f32", mesh=mesh)
+        ap = pgemv(a, p.astype(a.dtype), zero_rows, 1.0, 0.0, ar=ar,
+                   mesh=mesh, row_axis=row_axis, col_axis=col_axis)
         return jax.lax.with_sharding_constraint(ap.astype(jnp.float32), cols)
 
     def dot(u, v):
-        return _df_or_f32(pdot(u, v, mesh, axis="cols", ar=ar,
+        return _df_or_f32(pdot(u, v, mesh, axis=col_axis, ar=ar,
                                precise=(ar == "df64")))
 
-    x0 = jnp.zeros_like(b32)
-    rs0 = dot(b32, b32)
-    if tol == 0.0:
-        tol2 = jnp.float32(-1.0)  # fixed budget, no residual exit
-    else:
-        tol2 = jnp.float32(tol) ** 2 * rs0
-
-    def cond(s):
-        x, r, p, rs, it = s
-        return jnp.logical_and(it < iters, rs > tol2)
-
-    def body(s):
-        x, r, p, rs, it = s
-        ap = matvec(p)
-        den = dot(p, ap)
-        alpha = jnp.where(den > 0.0, rs / jnp.where(den > 0.0, den, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * ap
-        rs_new = dot(r, r)
-        beta = jnp.where(rs > 0.0, rs_new / jnp.where(rs > 0.0, rs, 1.0), 0.0)
-        p = r + beta * p
-        return (x, r, p, rs_new, it + 1)
-
-    x, r, p, rs, it = jax.lax.while_loop(
-        cond, body, (x0, b32, b32, rs0, jnp.int32(0))
-    )
-    return x, rs, it
+    return solvers.cg(a, b32, iters=iters, ar=ar, tol=tol,
+                      matvec=matvec, dot=dot)
 
 
 def power_step(a, x, r, *, mesh: Mesh, ar: str = "f32"):
@@ -243,8 +234,7 @@ def power_step(a, x, r, *, mesh: Mesh, ar: str = "f32"):
     x' = all-gathered y / sqrt(nu) resharded onto the cols axis."""
     y = pgemv(a, x, r, 1.0, 1.0, ar=ar, mesh=mesh)
     nu = pdot(y, y, mesh, axis="rows", ar=ar)
-    nu_f = dfm.df_to_f32(nu) if isinstance(nu, dfm.DF) else nu.astype(jnp.float32)
-    y_norm = y * jax.lax.rsqrt(nu_f + 1e-30)
+    y_norm = y * jax.lax.rsqrt(_df_or_f32(nu) + 1e-30)
     # reshard rows → cols for the next iteration (XLA inserts the collective)
     x_next = jax.lax.with_sharding_constraint(
         y_norm, NamedSharding(mesh, P("cols"))

@@ -211,3 +211,54 @@ def test_pcg_df64_dots(mesh):
     x = np.asarray(x, np.float64)
     rel = np.linalg.norm(x - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
+
+
+def test_pgemv_beta0_ignores_uninitialized_res(mesh):
+    """beta == 0 must not read res (vendor semantics the kernels enforce):
+    a NaN-filled res buffer must not poison the output, in either tier."""
+    m, n = 256, 512
+    a64 = gen_mtx(MatrixInfo(m, n), seed=50)
+    x64 = gen_mtx(MatrixInfo(1, n), seed=51)[0]
+    a = jnp.asarray(a64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    res_nan = jnp.full((m,), np.nan, jnp.float32)
+    ref = a64.astype(np.float64) @ x64.astype(np.float64)
+    for ar in ("f32", "df64"):
+        out = np.asarray(pgemv(a, x, res_nan, 1.0, 0.0, ar=ar, mesh=mesh))
+        assert np.isfinite(out).all(), ar
+        rel = np.abs(out - ref).sum() / np.abs(ref).sum()
+        assert rel < 1e-5, (ar, rel)
+
+
+def test_pgemv_traced_alpha_beta(mesh):
+    """alpha/beta must stay runtime values under jit in every tier (the df64
+    branch used to concretize with np.float32(tracer))."""
+    m, n = 128, 256
+    a = jnp.asarray(gen_mtx(MatrixInfo(m, n), seed=52), jnp.float32)
+    x = jnp.asarray(gen_mtx(MatrixInfo(1, n), seed=53)[0], jnp.float32)
+    r = jnp.ones((m,), jnp.float32)
+
+    for ar in ("f32", "df64"):
+        f = jax.jit(lambda al, be: pgemv(a, x, r, al, be, ar=ar, mesh=mesh))
+        got = np.asarray(f(jnp.float32(2.0), jnp.float32(0.5)))
+        ref = 2.0 * (np.asarray(a, np.float64) @ np.asarray(x, np.float64)) + 0.5
+        rel = np.abs(got - ref).sum() / np.abs(ref).sum()
+        assert rel < 1e-5, (ar, rel)
+
+
+def test_pcg_custom_axis_names():
+    """pcg must honor non-default mesh axis names like its siblings."""
+    from accblas_tpu.parallel import pcg
+
+    mesh2 = make_mesh(8, axes=("r", "c"))
+    n = 1024
+    rng = np.random.default_rng(9)
+    m0 = rng.uniform(-1, 1, (n, n)).astype(np.float32)
+    a_sys = (m0 @ m0.T / n + np.eye(n, dtype=np.float32) * 2.0).astype(np.float32)
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    x, rs, it = jax.jit(
+        lambda a_, b_: pcg(a_, b_, mesh=mesh2, iters=40, tol=1e-8,
+                           row_axis="r", col_axis="c")
+    )(jnp.asarray(a_sys), jnp.asarray(b))
+    resid = np.linalg.norm(a_sys.astype(np.float64) @ np.asarray(x, np.float64) - b)
+    assert resid / np.linalg.norm(b) < 1e-4, (resid, int(it))
