@@ -80,10 +80,33 @@ def canon(t) -> str:
     return _FROM_JNP[dt]
 
 
+# value-embedding partial order: t -> every type that can represent all of
+# t's finite values exactly. The narrow tiers are NOT totally ordered:
+# bf16 (8 exp, 7 mant) vs f16 (5 exp, 10 mant) embed in neither direction
+# (bf16 holds 2^100, f16 doesn't; f16 holds 1+2^-10, bf16 doesn't), and the
+# same holds for f8e5m2 (range) vs f8e4m3 (precision). df64 ⊂ f64 exactly
+# (hi/lo f32 pair spans ≤ ~49 significand bits < 53).
+_SUPER = {
+    "f8e5m2": frozenset({"f8e5m2", "bf16", "f16", "f32", "df64", "f64"}),
+    "f8e4m3": frozenset({"f8e4m3", "bf16", "f16", "f32", "df64", "f64"}),
+    "bf16": frozenset({"bf16", "f32", "df64", "f64"}),
+    "f16": frozenset({"f16", "f32", "df64", "f64"}),
+    "f32": frozenset({"f32", "df64", "f64"}),
+    "df64": frozenset({"df64", "f64"}),
+    "f64": frozenset({"f64"}),
+}
+
+
 def promote(*types) -> str:
-    """The decltype analogue: widest arithmetic type among the operands."""
+    """The decltype analogue: the narrowest type that embeds every operand's
+    values exactly (a join over the embedding partial order — NOT a max over
+    a total order, which would return f16 for (bf16, f16) and overflow
+    bf16's exponent range). Ties between incomparable minimal supertypes
+    (f8e5m2 + f8e4m3 embeds in both bf16 and f16) resolve to the earlier
+    name in _ORDER — bf16, the TPU-idiomatic choice."""
     names = [canon(t) for t in types]
-    return max(names, key=_ORDER.index)
+    common = frozenset.intersection(*(_SUPER[n] for n in names))
+    return min(common, key=_ORDER.index)
 
 
 def jnp_dtype(name: str):

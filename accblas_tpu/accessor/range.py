@@ -59,7 +59,10 @@ class ReducedRowMajor:
     st: str  # storage type name   ('f32', 'bf16', 'f16', 'f64')
 
     def __post_init__(self):
-        object.__setattr__(self, "ar", dtypes.canon(self.ar))
+        # check_arithmetic: storage-only tiers (f8) must not appear as ar —
+        # the static_assert analogue, enforced at the public accessor layer
+        # and not just in the op entry points
+        object.__setattr__(self, "ar", dtypes.check_arithmetic(self.ar))
         object.__setattr__(self, "st", dtypes.canon(self.st))
         if self.st == "df64":
             raise ValueError("storage type must be a real dtype, not df64")
@@ -74,9 +77,15 @@ class ReducedRowMajor:
             if raw.dtype == jnp.float64:
                 # exact two-word split of f64 storage: hi + lo == x to within
                 # df64's ~49-bit significand (truncating to a single f32 would
-                # silently drop ~29 bits)
+                # silently drop ~29 bits). |x| beyond f32 range saturates hi
+                # to inf; lo must be zeroed there or DF(inf, -inf) evaluates
+                # to NaN instead of the saturated inf.
                 hi = raw.astype(jnp.float32)
-                lo = (raw - hi.astype(jnp.float64)).astype(jnp.float32)
+                lo = jnp.where(
+                    jnp.isfinite(hi),
+                    (raw - hi.astype(jnp.float64)).astype(jnp.float32),
+                    jnp.float32(0.0),
+                )
                 return DF(hi, lo)
             x = raw.astype(jnp.float32) if raw.dtype != jnp.float32 else raw
             return DF(x, jnp.zeros_like(x))
@@ -86,6 +95,11 @@ class ReducedRowMajor:
     def store_cast(self, value):
         st = dtypes.jnp_dtype(self.st)
         if isinstance(value, DF):
+            if self.st == "f64":
+                # f64 storage can hold the full df64 width — summing the
+                # words in f64 is exact (≤ ~49 significand bits); rounding
+                # through f32 first would silently drop the lo word
+                return value.hi.astype(jnp.float64) + value.lo.astype(jnp.float64)
             return df_to_f32(value).astype(st)
         return jnp.asarray(value).astype(st)
 
@@ -117,6 +131,16 @@ class Range:
             size = tuple(shape) if shape is not None else None
         self._size = tuple(size) if size is not None else None
         self.stride = None if stride is None else int(stride)
+        if self.stride is None and self._size is not None:
+            # a dense view must match the carrier: a narrower explicit size
+            # would make length() disagree with what load() returns (a
+            # sub-window of a wider carrier is exactly what stride= is for)
+            shape = getattr(data, "shape", None)
+            if shape is not None and tuple(shape) != self._size:
+                raise ValueError(
+                    f"size {self._size} != carrier shape {tuple(shape)}; "
+                    "pass stride= to view a sub-window of a larger carrier"
+                )
         if self.stride is not None:
             if self._size is None or len(self._size) != 2:
                 raise ValueError("stride requires an explicit 2-D size=(m, n)")
@@ -207,9 +231,25 @@ class Range:
     def store(self, value, idx=None):
         if self.const:
             raise TypeError("write to const Range")
-        idx = ... if idx is None else self._map_idx(idx)
+        cast = self.spec.store_cast(value)
         try:
-            self.data[idx] = self.spec.store_cast(value)
+            if idx is not None:
+                self.data[self._map_idx(idx)] = cast
+            elif self.stride is None:
+                self.data[...] = cast
+            else:
+                # whole-view store targets the SAME (m, n) window load()
+                # reads — never the full parent carrier (writing data[...]
+                # would corrupt the out-of-window columns of every row)
+                m, n = self._size
+                if len(getattr(self.data, "shape", ())) == 1:
+                    # numpy: the contiguous slice reshapes to a view, so the
+                    # column-sliced assignment mutates the parent in place
+                    self.data[: m * self.stride].reshape(m, self.stride)[
+                        :, :n
+                    ] = cast
+                else:
+                    self.data[:m, :n] = cast
         except TypeError as e:
             raise TypeError(
                 "in-place Range writes need a mutable carrier (numpy array or "
@@ -241,8 +281,18 @@ def _range_flatten(r: Range):
 
 
 def _range_unflatten(aux, children):
+    # bypass __init__: JAX transforms unflatten with transformed leaves
+    # (vmap-batched shapes) or opaque placeholders (object() dummies in
+    # flatten_axes) that must not be re-validated — the documented
+    # custom-pytree rule
     spec, size, const, stride = aux
-    return Range(spec, children[0], size, const, stride)
+    r = object.__new__(Range)
+    r.spec = spec
+    r.data = children[0]
+    r._size = size
+    r.const = const
+    r.stride = stride
+    return r
 
 
 jax.tree_util.register_pytree_node(Range, _range_flatten, _range_unflatten)

@@ -53,3 +53,33 @@ def compiler_params(**kw):
     except TypeError:
         kw.pop("dimension_semantics", None)
         return pltpu.CompilerParams(**kw)
+
+
+def tri_mask(d, lower: bool, unit: bool, *, n=None, offs=None):
+    """Select the lower/upper triangle of (..., s, s) blocks: zero the dead
+    triangle and optionally force a unit diagonal — the one masking idiom
+    shared by the TRSV leaf inversion and the tri-GEMV diagonal step
+    (reference kernels guard the same triangle per-element,
+    ``cuda/trsv_kernels.cuh:184-199``).
+
+    With ``n``/``offs`` (per-block global row offsets against a logical
+    size), past-``n`` lanes continue as identity so padded boundary blocks
+    solve to x = 0. Works on plain 2-D blocks inside Pallas kernels and on
+    (g, s, s) stacks under jit alike.
+    """
+    s = d.shape[-1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    lead = (1,) * (d.ndim - 2)
+    tri = ((r >= c) if lower else (r <= c)).reshape(lead + (s, s))
+    diag = (r == c).reshape(lead + (s, s))
+    keep = jnp.broadcast_to(tri, d.shape)
+    if offs is not None:
+        base = offs.reshape(offs.shape + (1, 1))
+        keep = keep & ((base + r) < n) & ((base + c) < n)
+    d = jnp.where(keep, d, 0.0)
+    if unit:
+        d = jnp.where(diag, 1.0, d)
+    elif offs is not None:
+        d = jnp.where(diag & ((base + r) >= n), 1.0, d)
+    return d

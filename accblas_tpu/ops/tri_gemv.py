@@ -20,7 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import df64 as dfm
-from .common import compiler_params, interpret_default
+from .common import compiler_params, interpret_default, tri_mask
 from .trsv import BLOCK, _pad_packed
 
 
@@ -67,12 +67,7 @@ def _tri_gemv_kernel(
 
     @pl.when(j == i)
     def _diag_and_emit():
-        r = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-        tri = (r >= c) if lower else (r <= c)
-        d = jnp.where(tri, a_blk, 0.0)
-        if unit:
-            d = jnp.where(r == c, 1.0, d)
+        d = tri_mask(a_blk, lower, unit)
         accumulate(d, x_ref[pl.ds(bi, 1), :])
         res = dfm.df_sub(
             dfm.df_from(b_ref[0].astype(jnp.float32)),

@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..accessor import dtypes
 from ..accessor.range import Range, ReducedRowMajor
 from . import df64 as dfm
-from .common import compiler_params, interpret_default
+from .common import compiler_params, interpret_default, tri_mask
 
 # block size: balances per-step overhead against DMA granularity (measured on
 # v5e at n=16384: 512 -> 278 GFLOP/s vs 256 -> 186)
@@ -147,19 +147,7 @@ def _masked_tri_inverse(d, lower: bool, unit: bool, *, n=None, offs=None):
     to bf16 inside XLA's blocked TriangularSolve, and this phase must match
     the f32 Pallas/Mosaic dots in the sweep."""
     s = d.shape[-1]
-    r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    tri = (r >= c) if lower else (r <= c)
-    keep = jnp.broadcast_to(tri[None], d.shape)
-    ragged = offs is not None
-    if ragged:
-        base = offs[:, None, None]
-        keep = keep & ((base + r[None]) < n) & ((base + c[None]) < n)
-    d = jnp.where(keep, d, 0.0)
-    if unit:
-        d = jnp.where((r == c)[None], 1.0, d)
-    elif ragged:
-        d = jnp.where((r == c)[None] & ((base + r[None]) >= n), 1.0, d)
+    d = tri_mask(d, lower, unit, n=n, offs=offs)
     eye = jnp.broadcast_to(jnp.eye(s, dtype=jnp.float32), d.shape)
     with jax.default_matmul_precision("highest"):
         return jax.lax.linalg.triangular_solve(

@@ -176,3 +176,75 @@ def test_strided_range_composes_with_pallas_blockspec(rng):
     )(parent)
     expect = float(np.sum(np.asarray(parent)[8:16, 128:256], dtype=np.float32))
     assert abs(float(out[0, 0]) - expect) < 1e-3
+
+
+def test_store_cast_df_to_f64_keeps_lo_word():
+    """DF -> f64 storage must keep the full df64 width (hi+lo summed in
+    f64), not round through f32 first."""
+    from accblas_tpu.ops.df64 import DF
+
+    with jax.enable_x64():
+        spec = ReducedRowMajor("df64", "f64")
+        v = DF(jnp.float32(1.0), jnp.float32(2.0**-30))
+        got = np.asarray(spec.store_cast(v), np.float64)
+    assert got == 1.0 + 2.0**-30, got
+
+
+def test_strided_whole_view_store_writes_only_window():
+    flat = np.arange(80, dtype=np.float32)
+    r = make_range("f32", "f32", flat, size=(4, 6), stride=10)
+    r.store(np.zeros((4, 6), np.float32))
+    view = flat[:40].reshape(4, 10)
+    assert (view[:, :6] == 0).all()
+    # out-of-window columns and the tail of the parent are untouched
+    assert (view[:, 6:] == np.arange(80).reshape(8, 10)[:4, 6:]).all()
+    assert (flat[40:] == np.arange(40, 80)).all()
+
+    parent = np.arange(48, dtype=np.float32).reshape(6, 8)
+    r2 = make_range("f32", "f32", parent, size=(3, 4), stride=8)
+    r2.store(-1.0)
+    assert (parent[:3, :4] == -1).all()
+    assert (parent[:3, 4:] != -1).all() and (parent[3:] != -1).all()
+
+
+def test_make_range_rejects_f8_arithmetic():
+    with pytest.raises(ValueError):
+        make_range("f8e4m3", "f8e4m3", np.zeros(8, np.float32))
+
+
+def test_dense_size_mismatch_rejected():
+    with pytest.raises(ValueError):
+        make_range("f32", "f32", np.zeros((8, 8), np.float32), size=(4, 4))
+
+
+def test_range_pytree_survives_vmap():
+    """Unflatten must not re-validate transformed/batched leaves."""
+    flat = jnp.arange(16, dtype=jnp.float32)
+    r = make_range("f32", "f32", flat, size=(2, 4), stride=8)
+    out = jax.vmap(lambda leaf: leaf * 2.0)(r.data)
+    assert out.shape == (16,)
+    # tree_map across the Range itself (unflattens with mapped leaves)
+    doubled = jax.tree_util.tree_map(lambda x: x * 2, r)
+    assert isinstance(doubled, Range)
+    np.testing.assert_array_equal(np.asarray(doubled.data), np.arange(16) * 2)
+
+
+def test_df64_load_of_overflowing_f64_saturates_not_nan():
+    spec = ReducedRowMajor("df64", "f64")
+    raw = np.array([1e39, -1e39, 1.5], np.float64)
+    got = spec.load_cast(raw)
+    s = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+    assert np.isinf(s[0]) and s[0] > 0
+    assert np.isinf(s[1]) and s[1] < 0
+    assert s[2] == 1.5
+
+
+def test_promote_is_embedding_join():
+    from accblas_tpu.accessor import dtypes as dt
+
+    assert dt.promote("bf16", "f16") == "f32"
+    assert dt.promote("f8e5m2", "f8e4m3") == "bf16"
+    assert dt.promote("f8e5m2", "f16") == "f16"
+    assert dt.promote("bf16", "f32") == "f32"
+    assert dt.promote("df64", "f32") == "df64"
+    assert dt.promote("f64", "df64") == "f64"
