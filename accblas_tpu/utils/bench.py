@@ -102,15 +102,21 @@ def benchmark_loop(body, init_carry, *, args=(), reps: int = 3, target_ms: float
     t_base = min(base_samples)
     jitter = max(max(base_samples) - t_base, 1e-4)
 
-    # grow K until the loop body's signal dominates the jitter
+    # grow K until the loop body's signal dominates the jitter; min over two
+    # samples per step — one tunnel latency spike on a single sample would
+    # freeze k_hi with near-zero true signal and the final slope would be
+    # jitter, not kernel time
+    def timed2(k):
+        return min(timed(k), timed(k))
+
     k_hi = 8 * k_min
-    t_hi = timed(k_hi)
+    t_hi = timed2(k_hi)
     while (
         k_hi < k_cap
         and (t_hi - t_base) < max(target_ms / 1e3, 8 * jitter)
     ):
         k_hi = min(k_hi * 4, k_cap)
-        t_hi = timed(k_hi)
+        t_hi = timed2(k_hi)
 
     # slope of the min times: min() over reps suppresses host/tunnel noise
     # spikes on each endpoint independently (a per-rep slope can go negative

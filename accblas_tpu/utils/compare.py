@@ -45,7 +45,17 @@ def compare(result: np.ndarray, reference: np.ndarray) -> float:
 
 
 def norm1(x: np.ndarray) -> float:
-    return tree_reduce(np.abs(np.asarray(x, np.float64)))
+    """1-norm through the same accumulator the numerator uses: native long
+    double when built, f64 pairwise otherwise — relative_error's numerator
+    and denominator must not mix precisions."""
+    try:
+        from ..native import host as _native
+    except Exception:  # pragma: no cover
+        _native = None
+    a = np.abs(np.asarray(x, np.float64)).ravel()
+    if _native is not None and _native.available():
+        return _native.norm1(a)
+    return tree_reduce(a)
 
 
 def relative_error(result: np.ndarray, reference: np.ndarray) -> float:

@@ -13,7 +13,15 @@ exact fp64 master for the oracle — no bulk transfer in either direction.
 Master-value construction: two independent uniform(-1,1) float32 draws
 ``a, b`` combine as
 
-    master = a + 2^-24 * b        (exact in float64: 24 + 24 bits)
+    master = fl64(a + 2^-24 * b)
+
+(The sum is exact in float64 whenever the operands' exponents are within 5
+of each other — the combined span is then ≤ 53 bits; for the ~1% of draws
+with exp(a) − exp(b) > 5 the f64 add rounds off trailing bits of b at the
+≤ 2^-53 relative level. Host and device compute the identical fl64 value —
+the replay contract — and the dropped bits sit ~5 decades below the df64
+oracle floor, so no measured error metric can see them; only "master ==
+a + 2^-24·b exactly as a real number" would be overstated.)
 
 - The distribution is uniform(-1,1) (the reference's, ``dot_benchmark.cu:72``),
   with ~48 significant bits — entropy below every error floor measured here

@@ -104,14 +104,18 @@ def convert_mtx(src: np.ndarray, dtype, rounding: str = "nearest", seed: int = 0
     except ValueError:
         return src.astype(dtype)
     if rounding == "stochastic":
+        if name in ("f64", "f32"):
+            raise ValueError(
+                "stochastic rounding targets the narrow storage tiers "
+                "(bf16/f16/f8); use rounding='nearest' for f32/f64"
+            )
         from . import sr
 
         return sr.sr_round(src, name, seed=seed)
-    if name in ("f64", "f32"):
-        return src.astype(_dt.jnp_dtype(name))
-    import jax.numpy as jnp
-
-    return np.asarray(jnp.asarray(src).astype(_dt.jnp_dtype(name)))
+    # host-side cast for every tier: ml_dtypes registers bf16/f8 as numpy
+    # dtypes, so no device round-trip (a jnp cast would ship the array
+    # through the TPU tunnel eagerly — minutes for GiB-scale masters)
+    return src.astype(_dt.jnp_dtype(name))
 
 
 def format_mtx(mtx: np.ndarray, max_rows: int = 8, max_cols: int = 8) -> str:

@@ -27,13 +27,21 @@ from .matrix import MatrixInfo, gen_mtx
 
 
 def to_device(host: np.ndarray, dtype):
-    """H→D in a storage dtype (Memory<T>::copy_from, cpu→gpu direction)."""
-    import jax
-    import jax.numpy as jnp
+    """H→D in a storage dtype (Memory<T>::copy_from, cpu→gpu direction).
 
-    if str(dtype) in ("bf16", "bfloat16"):
-        return jax.device_put(host.astype(np.float32)).astype(jnp.bfloat16)
-    return jax.device_put(np.asarray(host).astype(dtype))
+    The cast happens HOST-side (ml_dtypes numpy support covers bf16/f16/f8),
+    so the tunnel carries the narrow payload — transferring f32 bytes and
+    casting on device would double the transfer for bf16 and add an eager
+    device dispatch."""
+    import jax
+
+    from ..accessor import dtypes as _dt
+
+    try:
+        np_dt = _dt.jnp_dtype(_dt.canon(dtype))
+    except ValueError:
+        np_dt = dtype
+    return jax.device_put(np.asarray(host).astype(np_dt))
 
 
 def to_host(dev) -> np.ndarray:
@@ -50,14 +58,33 @@ class _Base:
     def __init__(self):
         self._device_cache = {}
 
+    @staticmethod
+    def _dtype_key(dtype) -> str:
+        # canonical spelling: 'bf16' / jnp.bfloat16 / np.dtype('bfloat16')
+        # must share one cache slot — a str(dtype) key duplicated multi-GB
+        # device buffers for equivalent spellings
+        from ..accessor import dtypes as _dt
+
+        try:
+            return _dt.canon(dtype)
+        except ValueError:
+            return str(dtype)
+
     def _dev(self, name: str, dtype):
-        key = (name, str(dtype))
+        key = (name, self._dtype_key(dtype))
         if key not in self._device_cache:
             self._device_cache[key] = to_device(getattr(self, name), dtype)
         return self._device_cache[key]
 
-    def invalidate(self):
-        self._device_cache.clear()
+    def invalidate(self, name: str | None = None):
+        """Drop cached device copies — all of them, or just one buffer's
+        (reset_x must not force a re-upload of the unchanged LU matrix
+        through the ~0.034 GiB/s tunnel)."""
+        if name is None:
+            self._device_cache.clear()
+        else:
+            for k in [k for k in self._device_cache if k[0] == name]:
+                del self._device_cache[k]
 
 
 class DotData(_Base):
@@ -100,8 +127,11 @@ class GemvData(_Base):
         self.res = gen_mtx(MatrixInfo(1, max_size), seed=seed + 2)[0]
 
     def view(self, n: int, dtype):
-        """(A[:n,:n], x[:n], res[:n]) device views in a storage dtype; the
-        full-size device copy is cached, slicing is XLA-lazy."""
+        """(A[:n,:n], x[:n], res[:n]) device slices in a storage dtype; the
+        full-size device copy is cached and each call dispatches three
+        eager device-side slices (a fresh submatrix copy in HBM — callers
+        hold the result for the duration of a size's runs rather than
+        re-calling per rep)."""
         a = self._dev("a", dtype)[:n, :n]
         x = self._dev("x", dtype)[:n]
         r = self._dev("res", dtype)[:n]
@@ -133,7 +163,7 @@ class TrsvData(_Base):
 
     def reset_x(self):
         self.b = self.x_init.copy()
-        self.invalidate()
+        self.invalidate("b")  # 'a' is unchanged — keep its device copy
 
     def reference(self, n: int, uplo="upper", unit=True) -> np.ndarray:
         import scipy.linalg

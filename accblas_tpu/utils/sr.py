@@ -119,15 +119,19 @@ def sr_round_device(src, st, key):
 def sr_round_device_chunked(src, st, key, chunk: int = 2**26):
     """Chunked device SR for multi-GiB operands: the SR temporaries are
     ~4x the f32 input, which would not fit HBM next to a 2^29-element sweep
-    allocation. Flat input only."""
+    allocation. Any shape: inputs are flattened internally and the result
+    reshaped back (a silent no-chunk bypass for 2-D operands was exactly
+    the OOM this function exists to prevent)."""
     import jax
     import jax.numpy as jnp
 
-    n = src.shape[0]
-    if src.ndim != 1 or n <= chunk:
+    shape = src.shape
+    flat = src if src.ndim == 1 else src.reshape(-1)
+    n = flat.shape[0]
+    if n <= chunk:
         return sr_round_device(src, st, key)
     parts = []
     for i0 in range(0, n, chunk):
         k = jax.random.fold_in(key, i0 // chunk)
-        parts.append(sr_round_device(src[i0 : i0 + chunk], st, k))
-    return jnp.concatenate(parts)
+        parts.append(sr_round_device(flat[i0 : i0 + chunk], st, k))
+    return jnp.concatenate(parts).reshape(shape)

@@ -46,3 +46,37 @@ def test_fp16_storage_through_accessor():
     ref_stored = np.asarray(xh, np.float64) @ np.asarray(yh, np.float64)
     got = float(dotops.acc_dot(xh, yh, ar="f32"))
     assert abs(got - ref_stored) / abs(ref_stored) < 1e-4
+
+
+def test_dev_cache_key_canonical():
+    import jax.numpy as jnp
+    from accblas_tpu.utils.memory import DotData
+
+    d = DotData(64)
+    a1 = d.x_in("bf16")
+    a2 = d.x_in(jnp.bfloat16)
+    assert a1 is a2, "equivalent dtype spellings must share one cache slot"
+
+
+def test_reset_x_keeps_matrix_cached():
+    from accblas_tpu.utils.memory import TrsvData
+
+    t = TrsvData(64)
+    a1, _ = t.view(64, "f32")
+    t.reset_x()
+    a2, _ = t.view(64, "f32")
+    assert a1 is a2, "reset_x must not drop the unchanged LU matrix"
+
+
+def test_to_device_narrow_payload_host_cast():
+    import numpy as np
+    import jax.numpy as jnp
+    from accblas_tpu.utils.memory import to_device
+
+    x = np.random.default_rng(0).uniform(-1, 1, 128)
+    d = to_device(x, "bf16")
+    assert d.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(d.astype(jnp.float32)),
+        x.astype(jnp.bfloat16).astype(np.float32),
+    )

@@ -74,3 +74,25 @@ def test_convert_mtx_stochastic_route(rng):
     assert out.dtype == np.dtype(jnp.float8_e4m3fn)
     rn = convert_mtx(x, "f8e4m3")
     assert rn.dtype == np.dtype(jnp.float8_e4m3fn)
+
+
+def test_convert_mtx_stochastic_wide_target_rejected(rng):
+    from accblas_tpu.utils.matrix import convert_mtx
+
+    with pytest.raises(ValueError):
+        convert_mtx(rng.uniform(-1, 1, 16), "f32", rounding="stochastic")
+
+
+def test_sr_round_device_chunked_2d(rng):
+    import jax
+    from accblas_tpu.utils import sr
+
+    x = jnp.asarray(rng.uniform(-1, 1, (64, 32)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    out_chunked = sr.sr_round_device_chunked(x, "f8e4m3", key, chunk=512)
+    assert out_chunked.shape == x.shape
+    # chunked == flat-chunked reference, reshaped
+    flat = sr.sr_round_device_chunked(x.reshape(-1), "f8e4m3", key, chunk=512)
+    np.testing.assert_array_equal(
+        np.asarray(out_chunked, np.float32), np.asarray(flat, np.float32).reshape(64, 32)
+    )
