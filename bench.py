@@ -71,11 +71,15 @@ def main():
     ab = devgen.gen_f32((N_GEMV, N_GEMV), 42, "gemv_a").astype(jnp.bfloat16)
     xg = devgen.gen_f32((N_GEMV,), 42, "gemv_x").astype(jnp.bfloat16)
     rg = devgen.gen_f32((N_GEMV,), 42, "gemv_res")
-    ms_g = benchmark_loop(
-        lambda c, ab, xg: gemvops.acc_gemv(ab, xg, c, 1.0, 0.0, ar="f32"),
-        rg,
-        args=(ab, xg),
-    )
+    # timing-body rule: with static beta=0 res is never read, so the carry
+    # must flow through x (one-element perturbation, the driver's pattern) —
+    # res-only chaining would let XLA hoist the matvec on any XLA-composed
+    # routing and report PFLOP/s fiction
+    def gemv_body(c, ab, xg):
+        xc = xg.at[0].add((c[0].astype(jnp.float32) * 1e-30).astype(xg.dtype))
+        return gemvops.acc_gemv(ab, xc, c, 1.0, 0.0, ar="f32")
+
+    ms_g = benchmark_loop(gemv_body, rg, args=(ab, xg))
     gemv_gflops = 2.0 * N_GEMV * N_GEMV / (ms_g * 1e-3) / 1e9
     gemv_gbps = 2.0 * N_GEMV * N_GEMV / (ms_g * 1e-3) / 1e9  # 2 B/elem, 2 flop/elem
     details["gemv_acc_f32_bf16"] = {
@@ -97,7 +101,11 @@ def main():
     n_trsv = 16384
     key = jax.random.PRNGKey(0)
     at = jax.random.uniform(key, (n_trsv, n_trsv), jnp.float32, -1, 1)
-    at = at + n_trsv * 0.001 * jnp.eye(n_trsv, dtype=jnp.float32)
+    # unit-diagonal solves never read the diagonal — condition the UNIT
+    # triangle by scaling the off-diagonals (|L_ij| ~ 1/n keeps back-
+    # substitution bounded; a diagonal boost would be a dead no-op here),
+    # same recipe as __graft_entry__'s TRSM operand
+    at = at * jnp.float32(1.0 / n_trsv)
     bt = jnp.ones((n_trsv,), jnp.float32)
     from accblas_tpu.ops import trsv as trsvops
 
