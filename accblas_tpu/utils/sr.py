@@ -17,7 +17,8 @@ one unit toward the residual's direction through a monotone total-order
 mapping (sign-magnitude -> lexicographic), and pick between the two neighbors
 with probability |residual| / gap. Works for any of the narrow formats
 (f8e4m3 / f8e5m2 / bf16 / f16); both a numpy host version and a jnp device
-version (bit-identical given the same uniforms) are provided.
+version are provided (statistically identical given the same uniforms; see
+the ``sr_round_device`` docstring for the f32-vs-f64 threshold caveat).
 """
 
 from __future__ import annotations
