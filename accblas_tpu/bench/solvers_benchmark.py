@@ -60,13 +60,19 @@ def _spd_device(n: int, seed: int):
 def _df64_residual(a32, b, x):
     """Device df64 relative residual |b - A x| / |b| against the f32-stored
     operator (the storage-exact oracle for the solver's own system)."""
+    import jax
     import jax.numpy as jnp
 
     from ..ops import gemv as gemvops
-    from ..ops.df64 import DF, df_to_f64
 
-    z = jnp.zeros_like(b)
-    ax = gemvops.acc_gemv(a32, x, z, 1.0, 0.0, ar="df64", precise=True)
+    # jitted: eager composite dispatch through the remote tunnel costs
+    # ~25-30 ms per op (CLAUDE.md), and the precise df64 GEMV is many ops
+    ax = jax.jit(
+        lambda a_, x_: gemvops.acc_gemv(
+            a_, x_, jnp.zeros((a_.shape[0],), jnp.float32), 1.0, 0.0,
+            ar="df64", precise=True,
+        )
+    )(a32, x)
     r = np.asarray(b, np.float64) - np.asarray(ax, np.float64)
     return float(np.linalg.norm(r) / np.linalg.norm(np.asarray(b, np.float64)))
 
