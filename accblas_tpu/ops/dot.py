@@ -321,6 +321,22 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
                     "lowering); drop resident=False or use interpret=True"
                 )
             resident = True
+    # zero-copy ragged for the bf16 acc32 tier: the in-kernel (L,)->(rows,128)
+    # view is f32-only (the 16-bit relayout crashes Mosaic's compile helper),
+    # so the streaming kernel needs an O(n) pad copy (~3x bytes) at any n not
+    # aligned to the (16, 128) bf16 tile. XLA's native bf16 dot (exact f32
+    # MXU accumulate — the same lowering the f8 tier rides to 91% of ITS
+    # roofline at n=2^29) streams the unpadded buffers instead.
+    if (
+        not interpret
+        and auto_resident
+        and not resident
+        and ar == "f32"
+        and jnp.bfloat16 in (x.dtype, y.dtype)
+        and x.shape[0] % (128 * 16) != 0
+        and jax.default_backend() == "tpu"
+    ):
+        resident = True
     if resident:
         return _dot_small(x, y, ar, precise, init)
     spec_x = ReducedRowMajor(ar, dtypes.canon(x.dtype))

@@ -23,4 +23,6 @@ timeout 2400 python scripts/probe_r4a.py > bench_results/probe_r4a.log 2>&1
 echo "probe_r4a exit=$? $(date +%H:%M:%S)" | tee -a "$LOG"
 timeout 2400 python scripts/probe_r4b.py > bench_results/probe_r4b.log 2>&1
 echo "probe_r4b exit=$? $(date +%H:%M:%S)" | tee -a "$LOG"
+timeout 1200 python scripts/probe_r4c.py > bench_results/probe_r4c.log 2>&1
+echo "probe_r4c exit=$? $(date +%H:%M:%S)" | tee -a "$LOG"
 echo "campaign_r4 done $(date +%H:%M:%S)" | tee -a "$LOG"

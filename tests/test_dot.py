@@ -314,3 +314,21 @@ def test_dot_fixed_mixed_dtypes_rejected():
     y = x.astype(jnp.bfloat16)
     with pytest.raises(ValueError, match="matching storage dtypes"):
         dotops.dot(x, y)
+
+
+@pytest.mark.parametrize("n", [100_003, 2**17 + 130])
+def test_ragged_bf16_xla_route_semantics(n):
+    """The TPU-only zero-copy ragged route for the bf16 acc32 tier forces the
+    XLA-composed mode (jnp.dot, exact f32 MXU accumulate over bf16) — pin its
+    semantics at ragged sizes against the fp64 oracle on the stored values,
+    alongside the streaming path the same call takes off-TPU."""
+    x64, y64 = _vecs(n, seed=21)
+    xb = jnp.asarray(x64, jnp.float32).astype(jnp.bfloat16)
+    yb = jnp.asarray(y64, jnp.float32).astype(jnp.bfloat16)
+    ref_stored = np.asarray(xb.astype(jnp.float32), np.float64) @ np.asarray(
+        yb.astype(jnp.float32), np.float64
+    )
+    got_xla = float(dotops._dot_small(xb, yb, "f32", False, None)[0])
+    assert _rel(got_xla, ref_stored) < 1e-5
+    got_stream = float(dotops.acc_dot(xb, yb, ar="f32"))
+    assert _rel(got_stream, ref_stored) < 1e-5
