@@ -134,3 +134,57 @@ def test_fuzz_trsv(n, uplo, unit, nrhs, ar):
         refv = ref
     rel = np.linalg.norm(got - refv, 1) / np.linalg.norm(refv, 1)
     assert rel < 3e-5, f"rel={rel:.2e} (n={n} {uplo} unit={unit} nrhs={nrhs})"
+
+
+NARROW_FLOOR = {"f16": 3e-3, "f8e4m3": 2e-1}
+NARROW_CASES = [
+    (int(RNG.integers(40, 5000)), st)
+    for st in ("f16", "f8e4m3") for _ in range(3)
+]
+
+
+@pytest.mark.parametrize("n,st", NARROW_CASES)
+def test_fuzz_dot_narrow(n, st):
+    dt = jnp.float16 if st == "f16" else jnp.float8_e4m3fn
+    x64 = gen_mtx(MatrixInfo(1, n), seed=n + 3)[0]
+    y64 = gen_mtx(MatrixInfo(1, n), seed=n + 4)[0]
+    x = jnp.asarray(x64, jnp.float32).astype(dt)
+    y = jnp.asarray(y64, jnp.float32).astype(dt)
+    ref = np.asarray(x.astype(jnp.float32), np.float64) @ np.asarray(
+        y.astype(jnp.float32), np.float64
+    )
+    got = float(dotops.acc_dot(x, y, ar="f32"))
+    scale = float(np.abs(np.asarray(x.astype(jnp.float32), np.float64)
+                         * np.asarray(y.astype(jnp.float32), np.float64)).sum())
+    # ref is computed on the SAME stored values, so agreement is at the f32
+    # accumulation floor, not the storage floor — keep a loose margin for the
+    # pairwise-tree vs np.dot ordering difference
+    assert abs(got - ref) / scale < 1e-4
+
+
+GEMV_NARROW_CASES = [
+    (int(RNG.integers(4, 700)), int(RNG.integers(9, 700)), st)
+    for st in ("f16", "f8e4m3") for _ in range(3)
+]
+
+
+@pytest.mark.parametrize("m,n,st", GEMV_NARROW_CASES)
+def test_fuzz_gemv_narrow(m, n, st):
+    dt = jnp.float16 if st == "f16" else jnp.float8_e4m3fn
+    a64 = gen_mtx(MatrixInfo(m, n), seed=m * 991 + n)
+    x64 = gen_mtx(MatrixInfo(1, n), seed=n + 5)[0]
+    r64 = gen_mtx(MatrixInfo(1, m), seed=m + 6)[0]
+    a = jnp.asarray(a64, jnp.float32).astype(dt)
+    x = jnp.asarray(x64, jnp.float32).astype(dt)
+    r = jnp.asarray(r64, jnp.float32)
+    ref = (
+        np.asarray(a.astype(jnp.float32), np.float64)
+        @ np.asarray(x.astype(jnp.float32), np.float64)
+        + np.asarray(r, np.float64)
+    )
+    got = np.asarray(
+        gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="f32").astype(jnp.float32),
+        np.float64,
+    )
+    rel = np.linalg.norm(got - ref, 1) / np.linalg.norm(ref, 1)
+    assert rel < 1e-4, f"rel={rel:.2e} (m={m} n={n} {st})"
