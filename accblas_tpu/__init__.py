@@ -12,6 +12,9 @@ the reference.
 from .accessor.dtypes import canon, promote
 from .accessor.range import Range, ReducedRowMajor, make_range
 from .ops.df64 import DF
+from .ops.dot import acc_dot, dot, xla_dot
+from .ops.gemv import acc_gemv, gemv, xla_gemv
+from .ops.trsv import acc_trsm, acc_trsv, trsm, trsv, xla_trsm, xla_trsv
 
 __version__ = "0.1.0"
 
@@ -22,4 +25,18 @@ __all__ = [
     "DF",
     "canon",
     "promote",
+    # kernel families, three tiers each (the reference's public surface,
+    # cuda/{dot,gemv,trsv}_kernels.cuh host launchers)
+    "dot",
+    "acc_dot",
+    "xla_dot",
+    "gemv",
+    "acc_gemv",
+    "xla_gemv",
+    "trsv",
+    "acc_trsv",
+    "xla_trsv",
+    "trsm",
+    "acc_trsm",
+    "xla_trsm",
 ]
