@@ -1,11 +1,15 @@
 #!/bin/bash
-# Round-4 recovery campaign (single TPU process, strictly sequential):
-#   1. bench.py           — verify the timing-body fixes end-to-end (headline)
-#   2. campaign_r3m.sh    — the queued re-measurements (TRSV/TRSM CSVs stale
-#                           after the narrow-storage routing fixes; trsm_flops
-#                           and trsv_error died in the 19:30 outage) + r3l/r3n
-#   3. probe_r4a          — f8 GEMV formulations beyond the kcols=8 embed
-#   4. probe_r4b          — TRSV leaf-size at BLOCK_VEC=1024
+# Round-4 recovery campaign (single TPU process, strictly sequential),
+# ordered by priority in case the tunnel window is short:
+#   1. bench.py        — verify the timing-body fixes end-to-end (headline)
+#   2. trsm_flops      — died in the 19:30 outage (exit=124)
+#   3. trsv_error      — died in the 19:30 outage (exit=1)
+#   4. probe_r4b       — TRSV leaf-size at BLOCK_VEC=1024 (possible +% adopt)
+#   5. probe_r4a       — f8 GEMV formulations (VERDICT #4: 1348 -> >=1400)
+#   6. probe_r4c       — ragged bf16 DOT route (new) vs pad fallback
+#   7. trsv_flops      — refresh after narrow-storage routing fixes
+#   8. probe_r3n       — HIGHEST wide-panel fast path re-measure
+#   9. trsv_flops_dense, probe_r3l — the long tails
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -13,16 +17,36 @@ export PYTHONFAULTHANDLER=1
 LOG=bench_results/campaign_r4.log
 echo "campaign_r4 start $(date +%H:%M:%S)" | tee -a "$LOG"
 
+run() { # name timeout cmd...
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name: $* ($(date +%H:%M:%S))" | tee -a "$LOG"
+  timeout -s ABRT "$tmo" "$@" > "bench_results/$name.csv.tmp" 2> "bench_results/$name.log"
+  local rc=$?
+  echo "=== $name exit=$rc ($(date +%H:%M:%S))" | tee -a "$LOG"
+  if [ $rc -eq 0 ]; then mv "bench_results/$name.csv.tmp" "bench_results/$name.csv"; fi
+  return $rc
+}
+
+probe() { # name timeout
+  local name=$1 tmo=$2
+  echo "=== $name ($(date +%H:%M:%S))" | tee -a "$LOG"
+  timeout "$tmo" python "scripts/$name.py" > "bench_results/$name.log" 2>&1
+  echo "=== $name exit=$? ($(date +%H:%M:%S))" | tee -a "$LOG"
+}
+
 timeout 2400 python bench.py > /tmp/bench_verify.out 2> /tmp/bench_verify.err
 echo "bench.py exit=$? $(date +%H:%M:%S)" | tee -a "$LOG"
 
-bash scripts/campaign_r3m.sh
-echo "r3m done $(date +%H:%M:%S)" | tee -a "$LOG"
+run trsm_flops 3600 python -m accblas_tpu.bench.trsv_benchmark --size 16384 --nrhs 128
+run trsv_error 2400 python -m accblas_tpu.bench.trsv_benchmark --size 24576 --error --no-unit
 
-timeout 2400 python scripts/probe_r4a.py > bench_results/probe_r4a.log 2>&1
-echo "probe_r4a exit=$? $(date +%H:%M:%S)" | tee -a "$LOG"
-timeout 2400 python scripts/probe_r4b.py > bench_results/probe_r4b.log 2>&1
-echo "probe_r4b exit=$? $(date +%H:%M:%S)" | tee -a "$LOG"
-timeout 1200 python scripts/probe_r4c.py > bench_results/probe_r4c.log 2>&1
-echo "probe_r4c exit=$? $(date +%H:%M:%S)" | tee -a "$LOG"
+probe probe_r4b 2400
+probe probe_r4a 2400
+probe probe_r4c 1200
+
+run trsv_flops 1800 python -m accblas_tpu.bench.trsv_benchmark --size 24576
+probe probe_r3n 1800
+run trsv_flops_dense 2400 python -m accblas_tpu.bench.trsv_benchmark --size 24576 --sweep dense
+probe probe_r3l 2400
+
 echo "campaign_r4 done $(date +%H:%M:%S)" | tee -a "$LOG"
