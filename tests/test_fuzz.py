@@ -136,7 +136,6 @@ def test_fuzz_trsv(n, uplo, unit, nrhs, ar):
     assert rel < 3e-5, f"rel={rel:.2e} (n={n} {uplo} unit={unit} nrhs={nrhs})"
 
 
-NARROW_FLOOR = {"f16": 3e-3, "f8e4m3": 2e-1}
 NARROW_CASES = [
     (int(RNG.integers(40, 5000)), st)
     for st in ("f16", "f8e4m3") for _ in range(3)
