@@ -1,0 +1,125 @@
+"""Seeded configuration fuzz for the sharded (multi-chip) BLAS layer.
+
+`tests/test_fuzz.py` walks the single-chip configuration space; this file
+does the same for the `parallel` layer on the virtual 8-device CPU mesh —
+random mesh-divisible shapes x storage x arithmetic tier vs the fp64 oracle,
+so a seam between the local kernels and the shard_map combines (psum vs the
+exact DF all_gather+fold, beta==0 vendor semantics, rhs-axis panel splits)
+can't hide between the hand-picked cases in `tests/test_parallel.py`.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.linalg
+
+from accblas_tpu.parallel import make_mesh, pdot, pgemv, ptrsm
+from accblas_tpu.utils import MatrixInfo, gen_mtx
+
+RNG = np.random.Generator(np.random.Philox(20260819))
+
+# floors: (storage, ar) -> relative-error budget (1-norm), κ-free operands
+FLOOR = {("f32", "f32"): 3e-5, ("bf16", "f32"): 3e-2,
+         ("f32", "df64"): 3e-6, ("bf16", "df64"): 3e-2}
+
+COLS = 4  # cols axis extent of the 2x4 mesh
+ROWS = 2
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def _mk(storage):
+    return jnp.bfloat16 if storage == "bf16" else jnp.float32
+
+
+PDOT_CASES = [
+    (COLS * int(RNG.integers(40, 4000)), st, ar)
+    for st in ("f32", "bf16") for ar in ("f32", "df64") for _ in range(2)
+]
+
+
+@pytest.mark.parametrize("n,st,ar", PDOT_CASES)
+def test_fuzz_pdot(n, st, ar, mesh):
+    x64 = gen_mtx(MatrixInfo(1, n), seed=n)[0]
+    y64 = gen_mtx(MatrixInfo(1, n), seed=n + 1)[0]
+    x = jnp.asarray(x64, jnp.float32).astype(_mk(st))
+    y = jnp.asarray(y64, jnp.float32).astype(_mk(st))
+    xs = np.asarray(x.astype(jnp.float32), np.float64)
+    ys = np.asarray(y.astype(jnp.float32), np.float64)
+    ref = xs @ ys
+    out = pdot(x, y, mesh, axis="cols", ar=ar)
+    got = float(out.hi) + float(out.lo) if ar == "df64" else float(out)
+    scale = float(np.abs(xs * ys).sum())  # cancellation-free scale
+    assert abs(got - ref) / scale < FLOOR[(st, ar)]
+
+
+PGEMV_CASES = [
+    (
+        ROWS * int(RNG.integers(8, 300)),
+        COLS * int(RNG.integers(16, 300)),
+        st,
+        ar,
+        float(RNG.choice([0.0, 1.0, -0.5])),
+    )
+    for st in ("f32", "bf16") for ar in ("f32", "df64") for _ in range(2)
+]
+
+
+@pytest.mark.parametrize("m,n,st,ar,beta", PGEMV_CASES)
+def test_fuzz_pgemv(m, n, st, ar, beta, mesh):
+    a64 = gen_mtx(MatrixInfo(m, n), seed=m * 1000 + n)
+    x64 = gen_mtx(MatrixInfo(1, n), seed=n)[0]
+    r64 = gen_mtx(MatrixInfo(1, m), seed=m)[0]
+    a = jnp.asarray(a64, jnp.float32).astype(_mk(st))
+    x = jnp.asarray(x64, jnp.float32).astype(_mk(st))
+    r = jnp.asarray(r64, jnp.float32)
+    ref = 1.5 * (
+        np.asarray(a.astype(jnp.float32), np.float64)
+        @ np.asarray(x.astype(jnp.float32), np.float64)
+    ) + beta * np.asarray(r, np.float64)
+    got = np.asarray(
+        pgemv(a, x, r, 1.5, beta, ar=ar, mesh=mesh).astype(jnp.float32),
+        np.float64,
+    )
+    rel = np.linalg.norm(got - ref, 1) / np.linalg.norm(ref, 1)
+    assert rel < FLOOR[(st, ar)], f"rel={rel:.2e} (m={m} n={n} {st} {ar} b={beta})"
+
+
+PTRSM_CASES = [
+    (
+        int(RNG.integers(100, 700)),
+        COLS * int(RNG.integers(1, 9)),
+        RNG.choice(["upper", "lower"]),
+        bool(RNG.integers(0, 2)),
+        ar,
+    )
+    for ar in ("f32", "df64") for _ in range(3)
+]
+
+
+@pytest.mark.parametrize("n,k,uplo,unit,ar", PTRSM_CASES)
+def test_fuzz_ptrsm(n, k, uplo, unit, ar, mesh):
+    if unit:
+        # unit solves never read the diagonal; |off-diag| ~ 1/n keeps the
+        # substitution bounded (see tests/test_fuzz.py::test_fuzz_trsv)
+        lu = gen_mtx(MatrixInfo(n, n), seed=n) / n
+    else:
+        a64 = gen_mtx(MatrixInfo(n, n), seed=n) + np.eye(n) * (0.25 * n)
+        lu, _ = scipy.linalg.lu_factor(a64)
+    t = np.tril(lu) if uplo == "lower" else np.triu(lu)
+    if unit:
+        np.fill_diagonal(t, 1.0)
+    b64 = gen_mtx(MatrixInfo(k, n), seed=n + 7)
+    ref = scipy.linalg.solve_triangular(
+        t, b64.T, lower=(uplo == "lower"), unit_diagonal=False
+    )
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64.T, jnp.float32)
+    got = np.asarray(ptrsm(a, b, uplo, unit, ar=ar, mesh=mesh), np.float64)
+    rel = np.linalg.norm(got - ref, 1) / np.linalg.norm(ref, 1)
+    assert rel < 3e-5, f"rel={rel:.2e} (n={n} k={k} {uplo} unit={unit} {ar})"
