@@ -91,18 +91,30 @@ for k in (4, 16, 32):
 
 # ---- E: Pallas 2-D f8 convert bandwidth ----
 def conv_kernel(a_ref, o_ref):
-    # read the f8 block, convert, fold to a (1,128) partial so the write
-    # side is negligible: measures the f8 load+convert stream rate
+    # read the f8 block, convert, fold to a (1,BN) partial and ACCUMULATE
+    # over the row blocks (an overwrite would both drop all but the last
+    # row-panel and bounce the out block through HBM every step): measures
+    # the f8 load+convert stream rate. Row index rides the MINOR grid dim
+    # so the out block is constant between consecutive steps and Pallas
+    # skips its DMA (the TRSV dead-triangle trick).
     v = a_ref[...].astype(jnp.float32)
-    o_ref[...] = jnp.sum(v, axis=0, keepdims=True)
+    p = jnp.sum(v, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        o_ref[...] = p
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        o_ref[...] = o_ref[...] + p
 
 for bm, bn in ((256, 1024), (512, 512), (32, 128)):
-    grid = (N // bm, N // bn)
+    grid = (N // bn, N // bm)  # (col blocks, row blocks) — rows minor
     conv = pl.pallas_call(
         conv_kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((bm, bn), lambda i, j: (i, j))],
-        out_specs=pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        in_specs=[pl.BlockSpec((bm, bn), lambda jb, ib: (ib, jb))],
+        out_specs=pl.BlockSpec((1, bn), lambda jb, ib: (0, jb)),
         out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
     )
 
