@@ -35,7 +35,11 @@ def make_body(ar):
 
 
 for ar in ("f32", "df64"):
-    for leaf in (64, 128, 256):
+    # 512/1024 walk toward the full-block limit where the serial leaf chain
+    # collapses to ONE (1, B)x(B, B) MXU dot per diag block (phase-1 cost
+    # grows as B^3/3 per block but stays amortized; interpret-mode
+    # correctness verified for every leaf up to the full block)
+    for leaf in (64, 128, 256, 512, 1024):
         trsvops.LEAF = leaf  # read at trace time; fresh body per config
         try:
             ms = benchmark_loop(make_body(ar), b, args=(a,))
