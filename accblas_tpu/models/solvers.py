@@ -87,6 +87,11 @@ def cg(a, b, *, iters: int = 50, ar: str = "f32", tol: float = 0.0,
         x = s.x + alpha * s.p
         r = s.r - alpha * ap
         rs_new = dt(r, r)
+        # den < 0 is CG breakdown (non-SPD operator), not convergence:
+        # surface it as NaN rs — the while cond (NaN > tol2 is False) exits
+        # immediately and callers can tell it apart from a genuine rs -> 0.
+        # den == 0 stays the inert converged/subnormal-flush case.
+        rs_new = jnp.where(den < 0.0, jnp.float32(jnp.nan), rs_new)
         beta = jnp.where(s.rs > 0.0, rs_new / jnp.where(s.rs > 0.0, s.rs, 1.0), 0.0)
         p = r + beta * s.p
         return CGState(x, r, p, rs_new, s.it + 1)

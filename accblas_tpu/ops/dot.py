@@ -488,8 +488,11 @@ def acc_dot(
         out = dfm.DF(hi, lo)
         if res_dtype is not None:
             rd = dtypes.canon(res_dtype)
-            if rd == "f64":  # wider-than-f32 request: keep the df64 width
-                return dfm.df_to_f64(out)
+            if rd == "f64":
+                # wider-than-f32 request: keep the df64 width. Trace-safe
+                # exact sum (the store_cast f64 path) — df_to_f64 goes via
+                # numpy and would raise TracerArrayConversionError under jit.
+                return out.hi.astype(jnp.float64) + out.lo.astype(jnp.float64)
             return dfm.df_to_f32(out).astype(dtypes.jnp_dtype(rd))
         return out
     out = hi.astype(dtypes.jnp_dtype(ar))

@@ -619,7 +619,12 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret,
     # outside Mosaic's (32, 128) 8-bit tile support — gate on the NARROWER
     # of a/x (an 8-bit x under a wider A takes the same unaligned slice)
     min_item = min(itemsize, jnp.dtype(x.dtype).itemsize)
-    if ar == "df64" and min_item == 1 and n % 128 != 0 and not interpret:
+    # Sub-32-bit storage keeps the pad fallback on hardware: the tail's
+    # unaligned last-128-lane slice sits outside Mosaic's (32, 128) 8-bit
+    # tile support, and unaligned 16-bit relayouts have crashed Mosaic
+    # elsewhere (the DOT 1-D bf16 view) — only itemsize-4 storage rides the
+    # zero-copy masked tail on TPU (CPU interpret still exercises all dtypes)
+    if ar == "df64" and min_item < 4 and n % 128 != 0 and not interpret:
         pad = 128 - n % 128
         a = jnp.pad(a, ((0, 0), (0, pad)))
         x = jnp.pad(x, (0, pad))
@@ -628,7 +633,7 @@ def _gemv_call(a, x, res, alpha, beta, ar: str, precise: bool, interpret,
     # the row panel must fit VMEM double-buffered even at the minimum bm
     # (8 rows; 32 for 8-bit storage whose native tile is (32, 128))
     min_bm = 32 if itemsize == 1 else 8
-    ragged_ok = n % 128 == 0 or (n >= 128 and min_item > 1)
+    ragged_ok = n % 128 == 0 or (n >= 128 and (min_item == 4 or interpret))
     if fullrow_ok and ragged_ok and 2 * min_bm * n * itemsize <= 8 * 2**20:
         return _gemv_fullrow_call(
             a, x, res, alpha, beta, interpret, st_out, ar=ar, precise=precise,

@@ -106,6 +106,22 @@ def test_res_dtype_cast():
     assert _rel(float(out), ref_stored) < 1e-6
 
 
+def test_res_dtype_f64_under_jit():
+    """res_dtype='f64' must be trace-safe (the exact hi+lo sum, not the
+    numpy-based df_to_f64) and keep the full df64 width under x64."""
+    n = 4096
+    x64, y64 = _vecs(n, seed=12)
+    with jax.enable_x64():
+        x = jnp.asarray(x64, jnp.float32)
+        y = jnp.asarray(y64, jnp.float32)
+        f = jax.jit(lambda a, b: dotops.acc_dot(a, b, ar="df64",
+                                                precise=True, res_dtype="f64"))
+        out = f(x, y)
+        assert out.dtype == jnp.float64
+        ref = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+        assert _rel(float(out), ref) < 1e-12
+
+
 def test_xla_dot_baseline():
     n = 2**18
     x64, y64 = _vecs(n, seed=13)

@@ -95,3 +95,33 @@ def test_richardson_refine_beats_plain_richardson():
     _, r_mixed = richardson_refine(a32.astype(jnp.bfloat16), a32, b, iters=6, omega=1.0)
     _, r_plain = richardson_refine(jnp.zeros_like(a32), a32, b, iters=6, omega=0.5)  # plain x += r
     assert float(r_mixed[-1]) < float(r_plain[-1])
+
+
+def test_cg_breakdown_surfaces_nan():
+    """A non-SPD operator (den < 0 in the CG recurrence) must surface as
+    NaN rs — distinguishable from genuine convergence — and exit early,
+    not silently stall with the current iterate (ADVICE r3)."""
+    n = 64
+    a64 = -_spd(n)  # negative definite: first den = p^T A p < 0
+    b64 = gen_mtx(MatrixInfo(1, n), seed=9)[0]
+    a = jnp.asarray(a64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    x, rs, it = cg(a, b, iters=50, tol=0.0)
+    assert np.isnan(float(rs))
+    assert int(it) < 50  # breakdown exits the fixed budget early
+
+
+def test_cg_fixed_budget_stays_inert_after_convergence():
+    """den == 0 / rs == 0 (subnormal-flush convergence) keeps the guarded
+    inert path: full fixed budget runs, result finite and converged."""
+    n = 64
+    a64 = _spd(n)
+    b64 = gen_mtx(MatrixInfo(1, n), seed=9)[0]
+    a = jnp.asarray(a64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    x, rs, it = cg(a, b, iters=300, tol=0.0)
+    assert int(it) == 300
+    assert np.isfinite(float(rs))
+    ref = np.linalg.solve(a64, b64)
+    rel = np.linalg.norm(np.asarray(x, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4
