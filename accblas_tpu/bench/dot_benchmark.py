@@ -48,6 +48,12 @@ ALIGN = 2**13
 VARIANTS = [
     ("DOT fp32", "f32", "fixed", {}),
     ("DOT bf16", "bf16", "fixed", {}),
+    # identity-accessor tiers: same storage and arithmetic type through the
+    # Range — must match the fixed tiers, demonstrating the accessor is
+    # zero-cost at equal types (reference Acc<fp64,fp64>/Acc<fp32,fp32>,
+    # ``cuda/dot_benchmark.cu:95-142``)
+    ("DOT Acc<f32,f32>", "f32", "acc32", {}),
+    ("DOT Acc<bf16,bf16>", "bf16", "accbf16", {}),
     ("DOT Acc<df64,f32>", "f32", "df", {}),
     ("DOT Acc<df64,f32> precise", "f32", "df", {"precise": True}),
     ("DOT Acc<f32,bf16>", "bf16", "acc32", {}),
@@ -112,6 +118,8 @@ def _timing_body(kind: str, kw: dict, jnp, dotops):
         return mk(lambda x, y: dotops.acc_dot(x, y, ar="df64", **kw).hi)
     if kind == "acc32":
         return mk(lambda x, y: dotops.acc_dot(x, y, ar="f32"))
+    if kind == "accbf16":
+        return mk(lambda x, y: dotops.acc_dot(x, y, ar="bf16").astype(jnp.float32))
     return mk(lambda x, y: dotops.xla_dot(x, y).astype(jnp.float32))
 
 
@@ -147,6 +155,8 @@ def main():
                 return jax.jit(lambda x, y: dotops.acc_dot(x, y, ar="df64", **kw))
             if kind == "acc32":
                 return jax.jit(lambda x, y: dotops.acc_dot(x, y, ar="f32"))
+            if kind == "accbf16":
+                return jax.jit(lambda x, y: dotops.acc_dot(x, y, ar="bf16"))
             return jax.jit(lambda x, y: dotops.xla_dot(x, y))
 
         jfns = {nm: _jfn(kind, kw) for nm, f, kind, kw in variants if kind != "oracle"}

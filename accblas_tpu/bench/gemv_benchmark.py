@@ -34,6 +34,12 @@ ALPHA, BETA = 1.0, 1.0
 VARIANTS = [
     ("GEMV fp32", "f32", "fixed", {}),
     ("GEMV bf16", "bf16", "fixed", {}),
+    # identity-accessor tiers (same storage and arithmetic type through the
+    # Range): must match the fixed tiers — the accessor-is-zero-cost
+    # demonstration (reference Acc<fp64,fp64>/Acc<fp32,fp32>,
+    # ``cuda/gemv_benchmark.cu:134-193``)
+    ("GEMV Acc<f32,f32>", "f32", "acc32", {}),
+    ("GEMV Acc<bf16,bf16>", "bf16", "accbf16", {}),
     ("GEMV Acc<df64,f32>", "f32", "df", {}),
     ("GEMV Acc<df64,f32> precise", "f32", "df", {"precise": True}),
     ("GEMV Acc<f32,bf16>", "bf16", "acc32", {}),
@@ -119,6 +125,12 @@ def main():
                 return jax.jit(
                     lambda a, x, r: gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="f32")
                 )
+            if kind == "accbf16":
+                return jax.jit(
+                    lambda a, x, r: gemvops.acc_gemv(
+                        a, x, r.astype(a.dtype), ALPHA, BETA, ar="bf16"
+                    )
+                )
             return jax.jit(lambda a, x, r: gemvops.xla_gemv(a, x, r, ALPHA, BETA))
 
         jfns = {nm: _jfn(kind, kw, f) for nm, f, kind, kw in variants if f != "oracle"}
@@ -190,7 +202,7 @@ def main():
             for n in sizes:
                 a_, x_ = _lead2(af, n), _lead2(xf, n)
                 r_ = _lead2(r32, n)
-                if kind == "fixed" and fam == "bf16":
+                if kind in ("fixed", "accbf16") and fam == "bf16":
                     r_ = r_.astype(jnp.bfloat16)
 
                 def tier(a, x, r, kind=kind, kw=kw):
@@ -198,6 +210,8 @@ def main():
                         return gemvops.xla_gemv(a, x, r, ALPHA, BETA)
                     if kind == "fixed":
                         return gemvops.gemv(a, x, r, ALPHA, BETA)
+                    if kind == "accbf16":
+                        return gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="bf16")
                     if kind == "df":
                         return gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="df64", **kw)
                     return gemvops.acc_gemv(a, x, r, ALPHA, BETA, ar="f32")
