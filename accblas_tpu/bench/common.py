@@ -74,6 +74,11 @@ def parse_args(prog: str, default_size: int, min_size: int, extra=None):
         default="pow2",
         help="size grid: pow2 = doubling (default), dense = reference-style linear steps, single = only --size",
     )
+    p.add_argument("--step", type=int, default=0,
+                   help="dense-sweep step override (0 = driver default; the "
+                   "reference's grids are step-100 for GEMV/TRSV and step-2e6 "
+                   "for DOT — pass --step 256 for the comparable resolution "
+                   "class on lane-aligned grids)")
     p.add_argument("--randomizations", type=int, default=10,
                    help="error-mode re-randomizations for the median (reference: 10)")
     p.add_argument("--no-align", dest="align", action="store_false", default=True,
@@ -103,7 +108,10 @@ def sweep_sizes(args, min_size: int, align: int, dense_step: int):
     if args.sweep == "single":
         return [al(args.size)]
     if args.sweep == "dense":
-        return sorted({al(s) for s in range(min_size, args.size + 1, dense_step)})
+        step = getattr(args, "step", 0) or dense_step
+        grid = {al(s) for s in range(min_size, args.size + 1, step)}
+        grid.add(al(args.size))  # always include the endpoint
+        return sorted(grid)
     sizes = []
     s = min_size
     while s <= args.size:

@@ -46,7 +46,19 @@ probe probe_r4c 1200
 
 run trsv_flops 1800 python -m accblas_tpu.bench.trsv_benchmark --size 24576
 probe probe_r3n 1800
-run trsv_flops_dense 2400 python -m accblas_tpu.bench.trsv_benchmark --size 24576 --sweep dense
+
+# refreshes for the round-4 driver additions (identity-accessor columns in
+# DOT/GEMV, cold-solve columns in TRSV — already captured by the trsv_flops
+# rerun above) and the two error endpoints VERDICT r3 flags
+run dot_flops 3600 python -m accblas_tpu.bench.dot_benchmark --sweep pow2 --size $((2**29))
+run gemv_flops 3600 python -m accblas_tpu.bench.gemv_benchmark --sweep pow2 --size 24576
+run gemv_error 3600 python -m accblas_tpu.bench.gemv_benchmark --error --sweep pow2 --size 24576
+run dot_error 5400 python -m accblas_tpu.bench.dot_benchmark --error --sweep pow2 --size $((2**29))
+
+# dense step-256 sweeps (the reference's step-100 resolution class;
+# VERDICT r3 #10) — ~96 grid points each, long tails
+run gemv_flops_dense 7200 python -m accblas_tpu.bench.gemv_benchmark --sweep dense --step 256 --size 24576
+run trsv_flops_dense 10800 python -m accblas_tpu.bench.trsv_benchmark --sweep dense --step 256 --size 24576
 probe probe_r3l 2400
 
 echo "campaign_r4 done $(date +%H:%M:%S)" | tee -a "$LOG"
