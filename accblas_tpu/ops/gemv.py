@@ -338,17 +338,28 @@ def _gemv_fullrow_kernel(
         r_ref[...].astype(jnp.float32) * beta,
     )
     if ar == "df64":
-        # two-chain Kahan compensated accumulation over 128-lane chunks,
-        # products computed chunk-wise straight off the storage panel (the
-        # cast-on-load rides the chunk read — bf16/f16 storage streams at its
-        # own roofline). Measured v5e 16384^2: f32 372 GFLOP/s (vs fixed-f32
-        # 361 — the reference's storage-speed equivalence), bf16 741 (vs
-        # fixed-bf16 744). Kahan's capture term is exact on TPU (individually
-        # rounded VPU ops, like the two_sum EFTs); the compensated error
-        # floor measures 4.2e-08 — the reference's Acc<fp64,fp32> plot value.
+        # two-chain two_sum-compensated (Neumaier) accumulation over 128-lane
+        # chunks, products computed chunk-wise straight off the storage panel
+        # (the cast-on-load rides the chunk read — bf16/f16 storage streams at
+        # its own roofline). Measured v5e 16384^2: f32 372 GFLOP/s (vs
+        # fixed-f32 361 — the reference's storage-speed equivalence), bf16
+        # 741 (vs fixed-bf16 744; numbers from the Kahan form this replaced).
+        # Chain update (mirrors ops.dot's accumulator design):
+        #   fast mode: Kahan (4 ops/elem) — error sits at the f32
+        #     product-rounding floor, which dominates anyway.
+        #   precise mode: branch-free two_sum (7 ops/elem) — Kahan's
+        #     fast2sum capture `c=(t-s)-y` is only exact when |s| >= |y|,
+        #     and a GEMV row sum over u(-1,1) data wanders through zero:
+        #     measured 0.3-6 ulp32 leakage per row at n=1024 (ideal-vs-
+        #     kernel flip test, round 4), which put the precise error
+        #     endpoint at 4.6e-8 vs the 4.0e-8 exact-arithmetic storage
+        #     floor (the reference's published Acc<fp64,fp32> value).
+        #     two_sum captures the rounding exactly regardless of magnitude
+        #     order — precise is now correctly rounded (0/1024 flips vs the
+        #     fp64-over-f32 ideal) and lands ON the floor.
         # Per-row fold trees measured 272 GFLOP/s; whole-panel two_sum
-        # halving 322 — the sequential Kahan chains win on VPU shape (full
-        # (bm, 128) tiles) and op count (4/elem vs 8).
+        # halving 322 — the sequential chains win on VPU shape (full
+        # (bm, 128) tiles).
         k = n // 128
         chains = min(2, k)
         ss, cs = [], []
@@ -364,9 +375,13 @@ def _gemv_fullrow_kernel(
             p, e = _chunk_prod(ra, rx, k0, precise)
             if e is not None:
                 e_acc = e_acc + e
-            y = p - cs[ch]
-            t = ss[ch] + y
-            cs[ch] = (t - ss[ch]) - y
+            if precise:
+                t, e2 = dfm.two_sum(ss[ch], p)
+                cs[ch] = cs[ch] + e2
+            else:
+                y = p - cs[ch]
+                t = ss[ch] + y
+                cs[ch] = (t - ss[ch]) - y
             ss[ch] = t
         if n % 128:
             # ragged tail via the overlapping masked window (zero-copy)
@@ -381,14 +396,20 @@ def _gemv_fullrow_kernel(
             else:
                 if e is not None:
                     e_acc = e_acc + e
-                y = p - cs[0]
-                t = ss[0] + y
-                cs[0] = (t - ss[0]) - y
+                if precise:
+                    t, e2 = dfm.two_sum(ss[0], p)
+                    cs[0] = cs[0] + e2
+                else:
+                    y = p - cs[0]
+                    t = ss[0] + y
+                    cs[0] = (t - ss[0]) - y
                 ss[0] = t
-        # combine chains exactly; the final Kahan residual is -c
-        tot = dfm.DF(ss[0], -cs[0])
+        # combine chains exactly; precise's c is the exact captured residual
+        # (+c), Kahan's c is the pending deficit (-c) — ops.dot's convention
+        sign = 1.0 if precise else -1.0
+        tot = dfm.DF(ss[0], sign * cs[0])
         for ch in range(1, chains):
-            tot = dfm.df_add(tot, dfm.DF(ss[ch], -cs[ch]))
+            tot = dfm.df_add(tot, dfm.DF(ss[ch], sign * cs[ch]))
         if e_acc is not None:
             tot = dfm.df_add(tot, dfm.DF(e_acc, jnp.zeros_like(e_acc)))
         total = dfm.df_fold_lanes(tot, 1)  # DF (bm, 1)

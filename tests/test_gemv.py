@@ -324,3 +324,28 @@ def test_xla_gemv_beta0_ignores_res():
     got = gemvops.xla_gemv(a, x, r_nan, 1.5, 0.0)
     assert np.all(np.isfinite(np.asarray(got)))
     assert _rel(got, ref) < 1e-5
+
+
+def test_acc_gemv_precise_correctly_rounded():
+    """precise=True must be correctly rounded vs the exact fp64-over-f32
+    ideal (the reference's Acc<fp64,fp32> arithmetic): Kahan's fast2sum
+    capture leaked 0.3-6 ulp32 when the row sum wandered through zero —
+    precise now uses the branch-free two_sum chain (round 4)."""
+    import jax
+
+    from accblas_tpu.utils import devgen
+
+    n = 512
+    a32 = devgen.gen_f32((n, n), 42, "gemv_a")
+    x32 = devgen.gen_f32((n,), 42, "gemv_x")
+    r32 = devgen.gen_f32((n,), 42, "gemv_res")
+    ideal = (
+        np.asarray(a32, np.float64) @ np.asarray(x32, np.float64)
+        + np.asarray(r32, np.float64)
+    )
+    ideal_st = ideal.astype(np.float32)
+    out = jax.jit(
+        lambda a, x, r: gemvops.acc_gemv(a, x, r, 1.0, 1.0, ar="df64",
+                                         precise=True)
+    )(a32, x32, r32)
+    np.testing.assert_array_equal(np.asarray(out), ideal_st)
