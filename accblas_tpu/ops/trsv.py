@@ -492,6 +492,18 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
         inv[-1] = _inv_stack(a[None, s0:, s0:].astype(jnp.float32))[0]
 
     hi = jax.lax.Precision.HIGHEST
+    # One refinement step on each diagonal-block application in the
+    # bandwidth-bound regime (k < 32): x_b = inv·rhs has the INVERSE's
+    # forward error (cond(T_bb)·eps), measurably worse than substitution —
+    # at n=24576 the shipped inv-only route landed at 9.96e-5 vs XLA
+    # TriangularSolve's 8.68e-5 (trsv_error.csv, round 3). A single
+    # residual correction r = rhs - T_bb·x_b; x_b += inv·r recovers
+    # substitution-class accuracy (numpy f32 model at 24576/1024-blocks:
+    # inv-only 8.3e-4 → refined 1.87e-4 ≈ substitution's 1.89e-4) for two
+    # extra block-resident matvecs (~8% extra diag traffic). Wide panels
+    # (k >= 32, the MXU-bound TRSM route) skip it — the extra GEMMs are
+    # ~12% of the MXU flops there, and the df64 tier owns accuracy.
+    refine = b2.shape[1] < 32
     xs: list = [None] * nb  # solved (sizes[bi], k) pieces, logical block index
     order = range(nb) if lower else range(nb - 1, -1, -1)
     for bi in order:
@@ -505,7 +517,16 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
                 jnp.float32
             )
             rhs = rhs - jnp.matmul(panel, xcat, precision=hi)
-        xs[bi] = jnp.matmul(inv[bi], rhs, precision=hi)
+        xb = jnp.matmul(inv[bi], rhs, precision=hi)
+        if refine:
+            s0 = starts[bi]
+            tb = tri_mask(
+                a[s0 : s0 + sizes[bi], s0 : s0 + sizes[bi]].astype(jnp.float32),
+                lower, unit,
+            )
+            r = rhs - jnp.matmul(tb, xb, precision=hi)
+            xb = xb + jnp.matmul(inv[bi], r, precision=hi)
+        xs[bi] = xb
     x = jnp.concatenate(xs).astype(dtypes.jnp_dtype(st_out))
     return x[:, 0] if vec else x
 
