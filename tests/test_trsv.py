@@ -424,7 +424,10 @@ def test_trsv_blocked_refinement_matches_substitution_class():
     substitution-class accurate: inv-only application carried the inverse's
     forward error (~1.8x XLA's at the 24576 endpoint, round 3); one
     residual-correction step recovers it (round 4). Gate: the blocked route
-    errs no worse than 1.3x a monolithic f32 substitution."""
+    errs no worse than 1.25x XLA's monolithic TriangularSolve ON THE SAME
+    BACKEND (XLA:CPU's sequential matmul accumulation is noisier than BLAS,
+    so a scipy baseline would conflate backend noise with the algorithm —
+    measured 1.07x here vs the pre-fix 1.7-2.4x)."""
     import jax
 
     n = 1024
@@ -439,11 +442,11 @@ def test_trsv_blocked_refinement_matches_substitution_class():
     x_blk = jax.jit(
         lambda a, b: trsvops.trsv(a, b, "upper", False, resident=True)
     )(a, b)
-    x32 = scipy.linalg.solve_triangular(
-        np.asarray(t64, np.float32), np.asarray(b64, np.float32),
-        lower=False, unit_diagonal=False)
+    x_xla = jax.jit(
+        lambda a, b: trsvops.xla_trsv(a, b, "upper", False)
+    )(a, b)
 
     def relerr(x):
         return np.abs(np.asarray(x, np.float64) - ref).sum() / np.abs(ref).sum()
 
-    assert relerr(x_blk) < 1.3 * relerr(x32), (relerr(x_blk), relerr(x32))
+    assert relerr(x_blk) < 1.25 * relerr(x_xla), (relerr(x_blk), relerr(x_xla))
