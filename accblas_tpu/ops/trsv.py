@@ -668,7 +668,14 @@ def _check_bf16_envelope(a, n: int, ar: str, unstable_ok: bool, op: str):
     triangles beyond ~1024 rows (trsv_error.csv: 3e-2 @1024 → 0.95 @24576).
     Warn at trace time unless the caller opted in — the tier remains useful
     as a throughput/storage demonstration and for well-conditioned or
-    diagonally-dominant triangles."""
+    diagonally-dominant triangles.
+
+    This is INHERENT to bf16 storage, not the kernel (round-4 study,
+    BENCH_NOTES "Why the bf16-TRSV envelope cannot be widened"): the exact
+    fp64 solve of the bf16-stored triangle already errs 0.26 at n=8192, and
+    the componentwise (Skeel) condition bound governing storage rounding is
+    invariant under any row/column equilibration — measured: every scaling
+    variant within 5% of plain bf16 storage."""
     if unstable_ok or ar == "df64":
         return
     if dtypes.canon(a.dtype) == "bf16" and n > BF16_STABLE_N:
