@@ -57,6 +57,21 @@ def make_mesh(n_devices: int | None = None, axes=("rows", "cols")) -> Mesh:
     return Mesh(np.array(devs).reshape(rows, n_devices // rows), axes)
 
 
+def _pad_to(v, mult: int, axis: int = 0):
+    """Zero-pad one axis up to the next multiple of `mult` (shard_map needs
+    mesh-divisible global shapes). Zeros are EXACT no-ops for every
+    contraction tier (0·x contributes nothing to f32, df64 two_prod, or
+    Kahan chains), so uneven shards cost one O(size) device copy and no
+    accuracy. Aligned inputs pass through untouched."""
+    sz = v.shape[axis]
+    pad = (-sz) % mult
+    if pad == 0:
+        return v
+    widths = [(0, 0)] * v.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(v, widths)
+
+
 def pdot(x, y, mesh: Mesh, axis: str = "cols", ar: str = "f32", precise: bool = False):
     """Sharded DOT: local accessor DOT per chip, combined over `axis`.
 
@@ -84,7 +99,8 @@ def pdot(x, y, mesh: Mesh, axis: str = "cols", ar: str = "f32", precise: bool = 
             return dfm.df_sum(dfm.DF(his, los))
         return jax.lax.psum(local, axis)
 
-    return f(x, y)
+    ext = mesh.shape[axis]
+    return f(_pad_to(x, ext), _pad_to(y, ext))
 
 
 def pgemv(
@@ -147,6 +163,13 @@ def pgemv(
             out = out + beta * r_blk.astype(jnp.float32)
         return out.astype(r_blk.dtype)
 
+    m = a.shape[0]
+    rx, cx = mesh.shape[row_axis], mesh.shape[col_axis]
+    if m % rx or a.shape[1] % cx:
+        # uneven shards: zero-pad (exact; see _pad_to) and slice the result
+        a = _pad_to(_pad_to(a, rx, 0), cx, 1)
+        out = f(a, _pad_to(x, cx), _pad_to(res, rx))
+        return out[:m]
     return f(a, x, res)
 
 
@@ -181,7 +204,92 @@ def ptrsm(
     def f(t_blk, b_blk):
         return trsvops.acc_trsm(t_blk, b_blk, uplo, unit, ar=ar)
 
+    k = b.shape[1]
+    ext = mesh.shape[rhs_axis]
+    if k % ext:
+        # uneven rhs shards: extra zero columns solve to exact zeros
+        return f(a, _pad_to(b, ext, 1))[:, :k]
     return f(a, b)
+
+
+def ptrsv(
+    a,
+    b,
+    uplo: str = "upper",
+    unit: bool = True,
+    ar: str = "f32",
+    *,
+    mesh: Mesh,
+    row_axis: str = "rows",
+):
+    """Row-sharded single-rhs triangular solve: T x = b with T's BLOCK ROWS
+    sharded over `row_axis` (each chip owns an (n/d, n) row panel — the
+    memory-scaling decomposition ptrsm's replicated-T form lacks).
+
+    Block substitution over the d shards, dependency-ordered (last shard
+    first for upper, first for lower). Per step every chip redundantly
+    solves its OWN diagonal block against its running residual (the solve is
+    (n/d)² — cheap), one `all_gather` selects the step-owner's solution, and
+    every chip subtracts its local panel column against it. Only the
+    step-owner's candidate is ever read, so the garbage candidates of
+    already-solved / not-yet-reached chips are dead values, never wrong
+    ones. d local solves + d all_gathers of n/d lanes ride ICI; the O(n²)
+    panel updates run row-parallel across the mesh.
+
+    `ar` sets the local diagonal-solve tier; cross-shard panel updates run
+    f32 at HIGHEST (a DF-carried cross-chip residual is the ptrsm/df64
+    route's job). Uneven n pads T with an identity tail and b with zeros —
+    the padded lanes solve to exact zeros and are sliced away.
+    """
+    from ..ops import trsv as trsvops
+
+    n = a.shape[0]
+    d = mesh.shape[row_axis]
+    lower = uplo == "lower"
+    pad = (-n) % d
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        # identity tail keeps the padded diagonal solvable (x_pad = 0)
+        ii = jnp.arange(n, n + pad)
+        a = a.at[ii, ii].set(1.0)
+        b = jnp.pad(b, (0, pad))
+    npad = n + pad
+    m = npad // d
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(row_axis, None), P(row_axis)),
+        out_specs=P(row_axis),
+        check_vma=False,  # pallas_call out_shapes carry no vma metadata
+    )
+    def f(t_blk, b_blk):
+        idx = jax.lax.axis_index(row_axis)
+        dblk = jax.lax.dynamic_slice(t_blk, (0, idx * m), (m, m))
+        acc = b_blk.astype(jnp.float32)
+        x_local = jnp.zeros((m,), jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        order = range(d) if lower else range(d - 1, -1, -1)
+        for s in order:
+            cand = trsvops.acc_trsv(
+                dblk.astype(t_blk.dtype), acc.astype(b_blk.dtype), uplo, unit,
+                ar=ar, unstable_ok=True,
+            )
+            if isinstance(cand, dfm.DF):
+                cand = dfm.df_to_f32(cand)
+            x_s = jax.lax.all_gather(cand.astype(jnp.float32), row_axis)[s]
+            x_local = jnp.where(idx == s, x_s, x_local)
+            # panel update against the step's solution — harmless garbage on
+            # chips whose candidates are never read again (own diag block /
+            # dead-triangle L data of the packed factor)
+            panel = t_blk[:, s * m : (s + 1) * m].astype(jnp.float32)
+            acc = acc - jnp.matmul(
+                panel, x_s[:, None], precision=hi
+            )[:, 0]
+        return x_local.astype(b_blk.dtype)
+
+    x = f(a, b)
+    return x[:n] if pad else x
 
 
 def _df_or_f32(v):

@@ -123,3 +123,77 @@ def test_fuzz_ptrsm(n, k, uplo, unit, ar, mesh):
     got = np.asarray(ptrsm(a, b, uplo, unit, ar=ar, mesh=mesh), np.float64)
     rel = np.linalg.norm(got - ref, 1) / np.linalg.norm(ref, 1)
     assert rel < 3e-5, f"rel={rel:.2e} (n={n} k={k} {uplo} unit={unit} {ar})"
+
+
+# --- uneven (non-mesh-divisible) shards: the parallel layer zero-pads
+# exactly (parallel.blas._pad_to) and slices results back -------------------
+
+PDOT_UNEVEN = [
+    (COLS * int(RNG.integers(40, 2000)) + int(RNG.integers(1, COLS)), st, ar)
+    for st in ("f32", "bf16") for ar in ("f32", "df64")
+]
+
+
+@pytest.mark.parametrize("n,st,ar", PDOT_UNEVEN)
+def test_fuzz_pdot_uneven(n, st, ar, mesh):
+    assert n % COLS != 0
+    test_fuzz_pdot(n, st, ar, mesh)
+
+
+PGEMV_UNEVEN = [
+    (
+        ROWS * int(RNG.integers(8, 200)) + 1,
+        COLS * int(RNG.integers(16, 200)) + int(RNG.integers(1, COLS)),
+        st,
+        ar,
+        float(RNG.choice([0.0, 1.0])),
+    )
+    for st in ("f32", "bf16") for ar in ("f32", "df64")
+]
+
+
+@pytest.mark.parametrize("m,n,st,ar,beta", PGEMV_UNEVEN)
+def test_fuzz_pgemv_uneven(m, n, st, ar, beta, mesh):
+    assert m % ROWS != 0 and n % COLS != 0
+    test_fuzz_pgemv(m, n, st, ar, beta, mesh)
+
+
+@pytest.mark.parametrize("k", [3, 7, 13])
+def test_fuzz_ptrsm_uneven_rhs(k, mesh):
+    assert k % COLS != 0
+    test_fuzz_ptrsm(257, k, "upper", False, "f32", mesh)
+
+
+# --- row-sharded TRSV ------------------------------------------------------
+
+from accblas_tpu.parallel import ptrsv  # noqa: E402
+
+PTRSV_CASES = [
+    (int(RNG.integers(100, 700)), RNG.choice(["upper", "lower"]),
+     bool(RNG.integers(0, 2)), ar)
+    for ar in ("f32", "df64") for _ in range(3)
+]
+
+
+@pytest.mark.parametrize("n,uplo,unit,ar", PTRSV_CASES)
+def test_fuzz_ptrsv(n, uplo, unit, ar, mesh):
+    """Row-sharded single-rhs solve vs the scipy fp64 oracle — block-row
+    substitution over the mesh rows axis, including uneven n (identity-tail
+    padding). Same conditioning recipe as test_fuzz_ptrsm."""
+    if unit:
+        lu = gen_mtx(MatrixInfo(n, n), seed=n) / n
+    else:
+        a64 = gen_mtx(MatrixInfo(n, n), seed=n) + np.eye(n) * (0.25 * n)
+        lu, _ = scipy.linalg.lu_factor(a64)
+    t = np.tril(lu) if uplo == "lower" else np.triu(lu)
+    if unit:
+        np.fill_diagonal(t, 1.0)
+    b64 = gen_mtx(MatrixInfo(1, n), seed=n + 7)[0]
+    ref = scipy.linalg.solve_triangular(
+        t, b64, lower=(uplo == "lower"), unit_diagonal=False
+    )
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    got = np.asarray(ptrsv(a, b, uplo, unit, ar=ar, mesh=mesh), np.float64)
+    rel = np.linalg.norm(got - ref, 1) / np.linalg.norm(ref, 1)
+    assert rel < 3e-5, f"rel={rel:.2e} (n={n} {uplo} unit={unit} {ar})"
