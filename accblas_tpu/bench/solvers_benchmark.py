@@ -77,6 +77,61 @@ def _df64_residual(a32, b, x):
     return float(np.linalg.norm(r) / np.linalg.norm(np.asarray(b, np.float64)))
 
 
+def _pcg_table(n: int, iters: int):
+    """Mesh-sharded CG convergence per (storage x dot-arithmetic) tier,
+    next to the single-chip CG on the same system — the `solvers.csv`
+    companion for the `parallel` layer (round-3 VERDICT #9). The value is
+    CONVERGENCE parity (the sharded recurrence with psum/DF-combined dots
+    must track the single-chip one), not throughput, so it runs on whatever
+    mesh the backend offers — the 8-device CPU mesh in validation, real
+    chips when available. Emits resid pairs (pcg, single-chip cg)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import solvers
+    from ..parallel import make_mesh, pcg
+
+    mesh = make_mesh(len(jax.devices()))
+    a32, b = _spd_device(n, seed=42)
+    ab = a32.astype(jnp.bfloat16)
+    variants = [
+        ("f32/f32", a32, "f32"),
+        ("f32/df64", a32, "df64"),
+        ("bf16/f32", ab, "f32"),
+        ("bf16/df64", ab, "df64"),
+    ]
+    common.emit_header(
+        "n", [f"pcg {nm} {c}" for nm, _, _ in variants for c in ("resid", "cg resid")]
+    )
+    common.progress(f"pcg mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    vals = []
+    for nm, a, ar in variants:
+        def one(nm=nm, a=a, ar=ar):
+            xp, rsp, itp = jax.jit(
+                functools.partial(pcg, mesh=mesh, iters=iters, ar=ar, tol=0.0)
+            )(a, b)
+            xs, rss, its = jax.jit(
+                functools.partial(solvers.cg, iters=iters, ar=ar, tol=0.0)
+            )(a, b)
+            rp = _df64_residual(a32, b, xp)
+            rs = _df64_residual(a32, b, xs)
+            common.progress(
+                f"pcg {nm}: resid {rp:.3e} (single-chip {rs:.3e}) after "
+                f"{int(itp)}/{int(its)} iters"
+            )
+            return rp, rs
+
+        try:
+            rp, rs = one()
+        except Exception as e:  # noqa: BLE001 - per-variant fault isolation
+            common.progress(f"FAILED pcg {nm}: {type(e).__name__}: {str(e)[:200]}")
+            rp, rs = float("nan"), float("nan")
+        vals.extend([rp, rs])
+    common.emit_row(n, vals)
+
+
 def main():
     common.enable_compile_cache()
     import functools
@@ -86,7 +141,18 @@ def main():
 
     from ..models import solvers
 
-    args = common.parse_args("solvers_benchmark", DEFAULT_SIZE, MIN_SIZE)
+    def extra(p):
+        p.add_argument("--pcg", action="store_true",
+                       help="mesh-sharded CG convergence table (pcg vs "
+                       "single-chip cg per tier) instead of the it/s table")
+        p.add_argument("--iters", type=int, default=ITERS_HI,
+                       help="fixed iteration budget for --pcg")
+
+    args = common.parse_args("solvers_benchmark", DEFAULT_SIZE, MIN_SIZE,
+                             extra=extra)
+    if args.pcg:
+        _pcg_table(args.size, args.iters)
+        return
     n = args.size
     a32, b = _spd_device(n, seed=42)
     ab = a32.astype(jnp.bfloat16)
