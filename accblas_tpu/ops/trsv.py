@@ -437,6 +437,11 @@ _TRSM_SCR_BYTES = 6 * 2**20
 RESIDENT_N = 2048
 
 
+# probe-only escape hatch (scripts/probe_r4d.py): suppress the diagonal-
+# block refinement to measure its cost on hardware. Never set in library use.
+_PROBE_DISABLE_REFINE = False
+
+
 def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     """XLA-composed small-n TRSV/TRSM for the compiler-resident regime.
 
@@ -503,7 +508,7 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     # extra block-resident matvecs (~8% extra diag traffic). Wide panels
     # (k >= 32, the MXU-bound TRSM route) skip it — the extra GEMMs are
     # ~12% of the MXU flops there, and the df64 tier owns accuracy.
-    refine = b2.shape[1] < 32
+    refine = b2.shape[1] < 32 and not _PROBE_DISABLE_REFINE
     xs: list = [None] * nb  # solved (sizes[bi], k) pieces, logical block index
     order = range(nb) if lower else range(nb - 1, -1, -1)
     for bi in order:

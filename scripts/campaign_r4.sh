@@ -43,6 +43,7 @@ run trsv_error 2400 python -m accblas_tpu.bench.trsv_benchmark --size 24576 --er
 probe probe_r4b 2400
 probe probe_r4a 2400
 probe probe_r4c 1200
+probe probe_r4d 1800
 
 run trsv_flops 1800 python -m accblas_tpu.bench.trsv_benchmark --size 24576
 probe probe_r3n 1800
