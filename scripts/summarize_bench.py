@@ -17,6 +17,7 @@ BYTES = {
     "fp32": 4, "bf16": 2, "f16": 2, "f8e4m3": 1,
     "<df64,f32>": 4, "<f32,bf16>": 2, "<df64,bf16>": 2,
     "<f32,f16>": 2, "<f32,f8e4m3>": 1, "<f32,f32>": 4,
+    "<bf16,bf16>": 2,  # identity-accessor tier (round 4)
 }
 
 
@@ -82,6 +83,9 @@ def main():
         ("dot_error.csv", "DOT", "error", None),
         ("gemv_error.csv", "GEMV", "error", None),
         ("trsv_error.csv", "TRSV (non-unit)", "error", None),
+        ("gemv_flops_dense.csv", "GEMV dense sweep", "flops", False),
+        ("trsv_flops_dense.csv", "TRSV dense sweep", "flops", False),
+        ("pcg_convergence.csv", "pcg vs cg (mesh)", "error", None),
         ("dot_flops_ragged.csv", "DOT ragged sizes", "flops", True),
         ("gemv_flops_ragged.csv", "GEMV ragged sizes", "flops", False),
     ]
