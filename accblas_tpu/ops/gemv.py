@@ -39,6 +39,12 @@ from .common import compiler_params, interpret_default, pow2_ceil
 
 BM_MAX = 1024  # row-block (measured +2% over 512 for bf16 at 16384^2)
 BN_MAX = 1024  # column-block
+# fixed-tier chunk chains in the fullrow kernel. Sequential depth k/chains
+# sets the plain-f32 accumulation term, but it is NOT the dominant error:
+# measured (CPU, n=4096) 2/4/8/16 chains = 1.18/1.09/1.08/1.17e-7 — the
+# storage-rounding floor (~9.4e-8) dominates, so more chains buy <9% error
+# for real perf risk. 2 stays the shipped value.
+FIXED_CHAINS = 2
 
 # below this matrix size XLA keeps operands VMEM-resident across repeated
 # calls while a Pallas kernel re-streams HBM (see ops.dot.RESIDENT_BYTES);
@@ -425,7 +431,7 @@ def _gemv_fullrow_kernel(
     # df64 kernel's identical loop structure vs 354 for the whole-panel
     # multiply + tree (the chunk loop overlaps loads with the running sum)
     k = n // 128
-    chains = min(2, k)
+    chains = min(FIXED_CHAINS, k)
     ss = []
     for ch in range(chains):
         p0, _ = _chunk_prod(ra, rx, ch, False)
