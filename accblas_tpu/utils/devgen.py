@@ -48,7 +48,9 @@ import numpy as np
 
 SCALE = np.float32(2.0**-24)
 
-# role tags keep the streams of different operands disjoint
+# role tags keep the streams of different operands disjoint; the benchmark
+# drivers' roles are pinned to small ids (CSV bit-compat), ad-hoc roles
+# (probes) fold in a stable CRC32 of the tag instead
 ROLES = {"dot_x": 0, "dot_y": 1, "gemv_a": 2, "gemv_x": 3, "gemv_res": 4,
          "trsv_b": 5, "sr": 6}
 
@@ -56,8 +58,15 @@ ROLES = {"dot_x": 0, "dot_y": 1, "gemv_a": 2, "gemv_x": 3, "gemv_res": 4,
 def _key(seed: int, role: str, r: int):
     import jax
 
+    rid = ROLES.get(role)
+    if rid is None:
+        import zlib
+
+        # crc32 is stable across processes (unlike hash()); keep it in
+        # int32 range for fold_in
+        rid = zlib.crc32(role.encode()) & 0x7FFFFFFF
     k = jax.random.key(seed)
-    k = jax.random.fold_in(k, ROLES[role])
+    k = jax.random.fold_in(k, rid)
     return jax.random.fold_in(k, r)
 
 
