@@ -57,3 +57,18 @@ def test_gen_2d_shape():
     m = devgen.master_f64((64, 128), seed=42, role="gemv_a", r=0)
     assert g.shape == (64, 128)
     assert np.array_equal(g, m.astype(np.float32))
+
+def test_adhoc_roles_stable_and_disjoint():
+    # probe scripts use unregistered role tags: deterministic across calls,
+    # disjoint from each other and from the pinned driver roles, and the
+    # host master replay still matches the device f32 copy exactly
+    a1 = np.asarray(devgen.gen_f32((512,), seed=42, role="p4a_a"))
+    a2 = np.asarray(devgen.gen_f32((512,), seed=42, role="p4a_a"))
+    b = np.asarray(devgen.gen_f32((512,), seed=42, role="p4a_x"))
+    assert np.array_equal(a1, a2)
+    assert not np.array_equal(a1, b)
+    for role in devgen.ROLES:
+        pinned = np.asarray(devgen.gen_f32((512,), seed=42, role=role))
+        assert not np.array_equal(a1, pinned)
+    m = devgen.master_f64((512,), seed=42, role="p4a_a")
+    assert np.array_equal(a1, m.astype(np.float32))
