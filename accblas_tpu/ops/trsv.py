@@ -76,6 +76,13 @@ BLOCK_VEC = 1024
 # full diagonal block: 33 Mflop vs 2.1 Gflop at n=16384), and the kernel
 # substitutes through the diagonal block with leaf-granular MXU dots
 LEAF = 64
+# single-rhs sweeps at BLOCK_VEC shorten the serial in-block substitution
+# chain with a 4x bigger leaf (16 -> 4 leaf-dots per diagonal block): probe
+# r4b on v5e at n=24576 measured f32 349.4/360.9/362.1/361.6/334.8 and df64
+# 313.5/342.3/342.7/342.7/317.8 GF/s for leaf 64/128/256/512/1024 — 256 and
+# 512 tie; 256 keeps the phase-1 inversion flops 4x lower. TRSM (block=512,
+# wide panels) was NOT probed and keeps LEAF=64.
+LEAF_VEC = 256
 
 # beyond this n the bf16-storage recurrence error reaches the percent range
 # on LU-factor triangles (measured: 3.1e-2 at n=1024 rising to 0.95 at 24576,
@@ -636,7 +643,9 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
     # to amortize the diagonal solves); 1024 wins from n=8192 up
     if k == 1 and n >= 8 * BLOCK_VEC:
         block = BLOCK_VEC
-    leaf = min(LEAF, block)
+    # leaf choice follows the probe_r4b gate: the bigger leaf is only
+    # validated (and only wins) on the single-rhs BLOCK_VEC schedule
+    leaf = min(LEAF_VEC if (k == 1 and block == BLOCK_VEC) else LEAF, block)
     bt = b.T.astype(jnp.float32)  # (k, n) row-panel form
     nb = pl.cdiv(n, block)
     npad = nb * block

@@ -450,3 +450,32 @@ def test_trsv_blocked_refinement_matches_substitution_class():
         return np.abs(np.asarray(x, np.float64) - ref).sum() / np.abs(ref).sum()
 
     assert relerr(x_blk) < 1.25 * relerr(x_xla), (relerr(x_blk), relerr(x_xla))
+
+
+def test_leaf_vec_gate_sweep():
+    """The single-rhs BLOCK_VEC schedule substitutes with LEAF_VEC-granular
+    diagonal dots (probe_r4b: leaf 256 beats 64 by +3.6% f32 / +9.3% df64 at
+    n=24576); TRSM and non-BLOCK_VEC blocks keep LEAF. Shrunk constants so
+    the gate (k==1 and block==BLOCK_VEC -> LEAF_VEC) and the bigger-leaf
+    numerics both run on CPU."""
+    import accblas_tpu.ops.trsv as tv
+
+    n = 1024
+    lu, b64 = _packed_lu(n, seed=61)
+    ref = _ref_solve(lu, b64, "upper", False)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    old = tv.BLOCK_VEC, tv.LEAF, tv.LEAF_VEC
+    tv.BLOCK_VEC, tv.LEAF, tv.LEAF_VEC = 128, 16, 64
+    try:
+        # k==1 at n >= 8*BLOCK_VEC -> block=128, leaf=LEAF_VEC=64
+        got = tv.trsv(a, b, unit=False, resident=False)
+        assert _rel(got, ref) < 1e-4
+        got_df = tv.acc_trsv(a, b, unit=False, ar="df64", resident=False)
+        assert _rel(got_df, ref) < _rel(got, ref)
+        # TRSM keeps LEAF: same triangle, 2 rhs columns
+        B = jnp.stack([b, b * jnp.float32(2.0)], axis=1)
+        X = tv.trsm(a, B, uplo="upper", unit=False)
+        assert _rel(X[:, 0], ref) < 1e-4 and _rel(X[:, 1], 2 * ref) < 1e-4
+    finally:
+        tv.BLOCK_VEC, tv.LEAF, tv.LEAF_VEC = old
