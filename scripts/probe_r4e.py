@@ -231,8 +231,15 @@ for name, maker, xarg, bm, bn in variants:
         xs = {"x32": x32, "x8e": x8e}[xarg]
 
         def body(c, a, xv):
-            ac = a.at[0, 0].add((c[0] * 1e-30).astype(a.dtype))
-            return fn(ac, xv)
+            # perturb the VECTOR operand (n elements, negligible copy), not
+            # the matrix — a.at[0,0].add on the loop-invariant (n,n) f8 args
+            # entry forces a full 600 MB scatter-copy every iteration and
+            # halves every measured number (the driver pattern,
+            # bench/gemv_benchmark.py body). The f8 cast may round the
+            # perturbation to zero; the graph dependence is what blocks
+            # hoisting, not the value.
+            xc = xv.at[(0,) * xv.ndim].add((c[0] * 1e-30).astype(xv.dtype))
+            return fn(a, xc)
 
         ms = benchmark_loop(body, r32, args=(a8, xs))
         gf = flops / (ms * 1e-3) / 1e9
