@@ -162,6 +162,60 @@ def _masked_tri_inverse(d, lower: bool, unit: bool, *, n=None, offs=None):
         )
 
 
+def _df_tri_inverse(d, lower: bool, unit: bool):
+    """f32 inverse of a (g, s, s) triangular-block stack, correctly rounded.
+
+    Double-float back-substitution against the identity in pure XLA ops
+    (plain HLO — hoists out of repeated-solve loops exactly like the f32
+    ``triangular_solve`` it replaces; a Pallas setup call would not, and the
+    fused df64 TRSM's leaf-level inverse applications measurably do NOT
+    reach rounding class — its block inverse sat at the same normwise
+    distance from the exact inverse as the f32 one, 2.5e-6). Products are
+    exact (``two_prod``), the carried inverse rows and the accumulators are
+    (hi, lo) pairs, so the returned ``hi`` is fl32 of the exact inverse of
+    the stored block. The probe_r4f/r4g model on the LU triangle shows
+    inv-only application of a rounding-class inverse lands BELOW
+    substitution-class error (1-norm 3.1e-6 vs f32-inverse 2.1e-5,
+    per-app refine 4.6e-6, scipy f32 substitution 5.3e-6 at n=1024 with
+    512-blocks), so the per-application refinement can be dropped where
+    this inverse is used (refine OFF measured 385 vs refined 341 GF/s at
+    24576, scripts/probe_r4d.py)."""
+    g, s, _ = d.shape
+    d = tri_mask(d, lower, unit)
+    idx = jnp.arange(s)
+
+    def one(db):  # (s, s) f32 triangle -> (s, s) f32 inverse
+        def step(carry, i):
+            xhi, xlo = carry
+            row = jax.lax.dynamic_slice(db, (i, 0), (1, s))[0]
+            row = jnp.where(idx < i if lower else idx > i, row, 0.0)
+            # sum_k row[k] * X[k, :] in double-float (exact products,
+            # pairwise DF accumulation)
+            prod = dfm.df_mul_f32(dfm.DF(xhi, xlo), row[:, None])
+            acc = dfm.df_sum(prod, axis=0)
+            e_i = (idx == i).astype(jnp.float32)
+            num = dfm.df_sub(dfm.DF(e_i, jnp.zeros_like(e_i)), acc)
+            if unit:
+                qhi, qlo = num.hi, num.lo
+            else:
+                dii = jax.lax.dynamic_slice(db, (i, i), (1, 1))[0, 0]
+                q1 = num.hi / dii
+                p, pe = dfm.two_prod(q1, dii)
+                r = dfm.df_sub(num, dfm.DF(p, pe))
+                q2 = (r.hi + r.lo) / dii
+                qhi, qlo = dfm.fast_two_sum(q1, q2)
+            xhi = jax.lax.dynamic_update_slice(xhi, qhi[None], (i, 0))
+            xlo = jax.lax.dynamic_update_slice(xlo, qlo[None], (i, 0))
+            return (xhi, xlo), None
+
+        z = jnp.zeros((s, s), jnp.float32)
+        order = jnp.arange(s) if lower else jnp.arange(s - 1, -1, -1)
+        (xhi, _), _ = jax.lax.scan(step, (z, z), order)
+        return xhi  # DF invariant |lo| <= ulp(hi)/2: hi is the rounded inverse
+
+    return jax.vmap(one)(d)
+
+
 def _dot_t(x, blk, precision):
     """x (k, B) · blk(B', B)^T -> (k, B') f32 on the MXU."""
     return jax.lax.dot_general(
@@ -448,6 +502,15 @@ RESIDENT_N = 2048
 # block refinement to measure its cost on hardware. Never set in library use.
 _PROBE_DISABLE_REFINE = False
 
+# probe-only (scripts/probe_r4g_hw.py): compute the full diagonal-block
+# inverses by double-float substitution against the identity
+# (_df_tri_inverse — pure HLO, hoists like the f32 triangular_solve) and
+# skip the per-application refinement for those blocks. The probe_r4f/r4g
+# numpy model shows inv-only application of a rounding-class inverse lands
+# below substitution-class error — refine-OFF speed at better-than-refined
+# accuracy. Promoted to the default route if the hardware probe confirms.
+_PROBE_SETUP_DF64_INV = False
+
 
 def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     """XLA-composed small-n TRSV/TRSM for the compiler-resident regime.
@@ -492,11 +555,17 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
 
     nfull = nb if sizes[-1] == block else nb - 1
     inv: list = [None] * nb
+    # probe_r4g_hw: df64-substitution inverses (hi = correctly rounded f32)
+    # for the full diagonal blocks; their application then skips the
+    # per-app refinement (see `refine` below). Ragged last block keeps the
+    # f32 inverse + refinement path.
+    df64_inv = bool(_PROBE_SETUP_DF64_INV) and b2.shape[1] < 32
     if nfull:
         d = jnp.stack(
             [a[s0 : s0 + block, s0 : s0 + block] for s0 in starts[:nfull]]
         ).astype(jnp.float32)
-        inv_full = _inv_stack(d)
+        inv_full = (_df_tri_inverse(d, lower, unit) if df64_inv
+                    else _inv_stack(d))
         for bi in range(nfull):
             inv[bi] = inv_full[bi]
     if nfull != nb:
@@ -530,7 +599,7 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
             )
             rhs = rhs - jnp.matmul(panel, xcat, precision=hi)
         xb = jnp.matmul(inv[bi], rhs, precision=hi)
-        if refine:
+        if refine and not (df64_inv and bi < nfull):
             s0 = starts[bi]
             tb = tri_mask(
                 a[s0 : s0 + sizes[bi], s0 : s0 + sizes[bi]].astype(jnp.float32),

@@ -81,6 +81,15 @@ run("blocked refine OFF",
     lambda a_, b_: trsvops.trsv(a_, b_, "upper", False))
 trsvops._PROBE_DISABLE_REFINE = False
 
+# round-4 addition: rounding-class diagonal-block inverses at setup
+# (_df_tri_inverse, pure-HLO double-float substitution vs the identity),
+# per-app refinement off — CPU model says below-substitution error at
+# refine-OFF speed, IF the setup still hoists out of the timing loop.
+trsvops._PROBE_SETUP_DF64_INV = True
+run("blocked df64-setup inverse",
+    lambda a_, b_: trsvops.trsv(a_, b_, "upper", False))
+trsvops._PROBE_SETUP_DF64_INV = False
+
 for bv, lv in ((1024, 128), (1024, 256), (1536, 256), (2048, 256),
                (2048, 512)):
     trsvops.BLOCK_VEC, trsvops.LEAF_VEC = bv, lv

@@ -479,3 +479,49 @@ def test_leaf_vec_gate_sweep():
         assert _rel(X[:, 0], ref) < 1e-4 and _rel(X[:, 1], 2 * ref) < 1e-4
     finally:
         tv.BLOCK_VEC, tv.LEAF, tv.LEAF_VEC = old
+
+
+@pytest.mark.parametrize("uplo", ["upper", "lower"])
+@pytest.mark.parametrize("unit", [True, False])
+def test_df_tri_inverse_correctly_rounded(uplo, unit):
+    """_df_tri_inverse == fl32 of the exact (fp64) inverse of the stored
+    block, up to round-to-nearest ties at the eps^2 boundary (<= a handful
+    of elements). This is the rounding-class setup inverse whose inv-only
+    application reaches below-substitution error (probe_r4f/r4g model)."""
+    s, g = 192, 3
+    rng = np.random.default_rng(11)
+    stack32 = (rng.uniform(-1, 1, (g, s, s)) + np.eye(s) * (0.25 * s)).astype(np.float32)
+    lower = uplo == "lower"
+    got = np.asarray(
+        trsvops._df_tri_inverse(jnp.asarray(stack32), lower, unit), np.float64
+    )
+    for gi in range(g):
+        t = np.tril(stack32[gi]) if lower else np.triu(stack32[gi])
+        if unit:
+            np.fill_diagonal(t, 1.0)
+        exact = scipy.linalg.solve_triangular(
+            t.astype(np.float64), np.eye(s), lower=lower
+        )
+        rounded = exact.astype(np.float32).astype(np.float64)
+        ndiff = int((got[gi] != rounded).sum())
+        assert ndiff <= 8, (uplo, unit, gi, ndiff)
+        # any tie-off elements still agree to ~1 ulp32 relative
+        denom = np.abs(rounded) + 1e-300
+        assert np.max(np.abs(got[gi] - rounded) / denom) < 3e-7, (uplo, unit)
+
+
+def test_trsv_setup_df64_inverse_end_to_end():
+    """Probe flag path: rounding-class setup inverses + refinement off
+    lands at-or-below the shipped per-app-refined route's error."""
+    n = 1024
+    lu, b64 = _packed_lu(n, seed=23)
+    ref = _ref_solve(lu, b64, "upper", False)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    base = _rel(trsvops.trsv(a, b, uplo="upper", unit=False, resident=True), ref)
+    trsvops._PROBE_SETUP_DF64_INV = True
+    try:
+        got = _rel(trsvops.trsv(a, b, uplo="upper", unit=False, resident=True), ref)
+    finally:
+        trsvops._PROBE_SETUP_DF64_INV = False
+    assert got < 5e-5 and got < base * 1.5, (got, base)
