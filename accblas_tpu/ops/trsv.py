@@ -627,9 +627,11 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
     """Blocked-substitution routing gate: honor an explicit resident flag;
     auto only on a TPU backend with no explicit interpret request (advisor
     round-2: an explicit resident=False or interpret=True must reach the
-    sweep). Auto routes every f32/bf16/f16-storage single-rhs solve here
-    (probe_r3e: f32 faster than the Pallas sweep at every size and
-    ragged-immune; probe_r3h: per-slice fused convert streams bf16/f16 at
+    sweep). Auto routes f32/bf16/f16-storage single-rhs solves here —
+    EXCEPT aligned f32 at n >= 8192, which rides the Pallas sweep since
+    round 4 (see the reroute comment below) — (probe_r3e: blocked faster
+    than the round-3 sweep below 8192 and ragged-immune; probe_r3h:
+    per-slice fused convert streams bf16/f16 at
     storage width — 692/693 vs the sweep's 398/80 GF/s at 24576), any
     storage at VMEM-scale n, and wide multi-rhs panels (probe_r3g: at
     k=128 the XLA-composed schedule runs 24.9 vs 16.5 TF/s f32 and 44.5
@@ -645,6 +647,17 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
     if resident is False or interpret is not None:
         return False
     if jax.default_backend() != "tpu":
+        return False
+    # round-4 reroute (probe_r4g_hw at 24576 on v5e): aligned large-n f32
+    # single-rhs solves go back to the Pallas sweep — at BLOCK_VEC=1024/
+    # LEAF_VEC=256 it runs 362.6 GF/s vs the refined blocked route's 340.7
+    # (the per-app diag-block refinement the blocked route needs for its
+    # error costs ~8%; the sweep's 256-wide leaves keep inv-apply error at
+    # the storage floor without it: 6.98e-5 vs 6.24e-5, both beating XLA's
+    # 8.68e-5). Ragged/odd n stays blocked (the sweep measured 194 GF/s at
+    # 12416 vs the blocked route's ragged-immune 364); below 8192 the
+    # blocked route is faster (344 vs 247 at 4096, probe_r3e).
+    if (k == 1 and st == "f32" and n >= 8192 and n % BLOCK_VEC == 0):
         return False
     return (n <= RESIDENT_N
             or (k == 1 and st in ("f32", "bf16", "f16"))

@@ -88,7 +88,35 @@ trsvops._PROBE_DISABLE_REFINE = False
 trsvops._PROBE_SETUP_DF64_INV = True
 run("blocked df64-setup inverse",
     lambda a_, b_: trsvops.trsv(a_, b_, "upper", False))
+
+
+def run_cold(name, fn):
+    """Driver cold protocol: the matrix rides the carry with a data-
+    dependent O(1) in-place bump so phase-1 setup re-runs every iteration
+    — prices the DF-substitution setup for one-shot solves."""
+    try:
+        jfn = jax.jit(fn)
+
+        def body(c, b_):
+            xprev, ac = c
+            bump = (xprev[0] * 1e-30).astype(ac.dtype)
+            ac = ac.at[0, 0].add(bump)
+            x = jfn(ac, jnp.clip(xprev, -1.0, 1.0))
+            return (x, ac)
+
+        ms = benchmark_loop(body, (b, a), args=(b,))
+        print(f"{name:42s} {flops / (ms * 1e-3) / 1e9:7.1f} GF/s   (cold)",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{name:42s} FAILED {type(e).__name__}: {str(e)[:140]}",
+              flush=True)
+
+
+run_cold("blocked df64-setup inverse COLD",
+         lambda a_, b_: trsvops.trsv(a_, b_, "upper", False))
 trsvops._PROBE_SETUP_DF64_INV = False
+run_cold("shipped auto COLD (refine)",
+         lambda a_, b_: trsvops.trsv(a_, b_, "upper", False))
 
 for bv, lv in ((1024, 128), (1024, 256), (1536, 256), (2048, 256),
                (2048, 512)):

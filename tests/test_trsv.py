@@ -352,6 +352,14 @@ def test_use_small_routing_gate(monkeypatch):
     for st in ("f32", "bf16", "f16"):
         assert tv._use_small(big, None, None, "f32", k=1, st=st)
     assert not tv._use_small(big, None, None, "f32", k=1, st="f8e4m3")
+    # round-4 reroute: aligned large-n f32 single-rhs rides the Pallas
+    # sweep (probe_r4g_hw: 362.6 vs 340.7 GF/s at 24576); ragged n, narrow
+    # storage, and sub-8192 sizes stay on the blocked schedule
+    assert not tv._use_small(24576, None, None, "f32", k=1, st="f32")
+    assert not tv._use_small(8192, None, None, "f32", k=1, st="f32")
+    assert tv._use_small(24500, None, None, "f32", k=1, st="f32")
+    assert tv._use_small(4096, None, None, "f32", k=1, st="f32")
+    assert tv._use_small(24576, None, None, "f32", k=1, st="bf16")
     # wide panels autoroute regardless of storage; narrow k does not
     assert tv._use_small(big, None, None, "f32", k=32, st="f8e4m3")
     assert not tv._use_small(big, None, None, "f32", k=8, st="f8e4m3")
