@@ -529,6 +529,7 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     vec = b.ndim == 1
     b2 = (b.reshape(n, 1) if vec else b).astype(jnp.float32)
     lower = uplo == "lower"
+    f32_storage = a.dtype == jnp.float32  # before any upfront cast below
     block = _block_for(n)
     nb = pl.cdiv(n, block)
     # Narrow-storage (bf16/f16) cast policy is k-dependent (probe_r3h/r3i):
@@ -584,7 +585,12 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     # extra block-resident matvecs (~8% extra diag traffic). Wide panels
     # (k >= 32, the MXU-bound TRSM route) skip it — the extra GEMMs are
     # ~12% of the MXU flops there, and the df64 tier owns accuracy.
-    refine = b2.shape[1] < 32 and not _PROBE_DISABLE_REFINE
+    # Narrow storage (bf16/f16) skips it too: the storage-truncation error
+    # (0.5 rel bf16 / 6e-2 f16 at 24576, trsv_error.csv) dominates the
+    # diag-inverse error refinement fixes by 3+ orders of magnitude, while
+    # the extra slice+convert+matvecs cost ~10% (bf16 690.6 -> 622.7 GF/s
+    # at 24576 when refinement briefly applied to all storages, round 4).
+    refine = b2.shape[1] < 32 and f32_storage and not _PROBE_DISABLE_REFINE
     xs: list = [None] * nb  # solved (sizes[bi], k) pieces, logical block index
     order = range(nb) if lower else range(nb - 1, -1, -1)
     for bi in order:
