@@ -590,7 +590,16 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     # diag-inverse error refinement fixes by 3+ orders of magnitude, while
     # the extra slice+convert+matvecs cost ~10% (bf16 690.6 -> 622.7 GF/s
     # at 24576 when refinement briefly applied to all storages, round 4).
-    refine = b2.shape[1] < 32 and f32_storage and not _PROBE_DISABLE_REFINE
+    # n < 512 skips it too, on measured error AND speed (trsv_error.csv
+    # round-3 inv-only vs round-4 refined): at 128/256 the inv-apply
+    # solution already ties XLA TriangularSolve bit-for-bit-close
+    # (2.46e-7 / 4.97e-7) and refining made it slightly WORSE at 128
+    # (3.01e-7) while halving throughput (28.8 -> 16.0, 41.6 -> 33.5
+    # GF/s); from 512 up refinement is throughput-free (133 -> 133 at 512)
+    # and needed to beat XLA at 1024/2048 (2.04e-6 vs 2.28e-6, 3.73e-6 vs
+    # 5.01e-6 — inv-only loses both).
+    refine = (b2.shape[1] < 32 and f32_storage and n >= 512
+              and not _PROBE_DISABLE_REFINE)
     xs: list = [None] * nb  # solved (sizes[bi], k) pieces, logical block index
     order = range(nb) if lower else range(nb - 1, -1, -1)
     for bi in order:
