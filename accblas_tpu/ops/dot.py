@@ -327,6 +327,8 @@ def _dot_call(x, y, ar: str, precise: bool, interpret, init=None, resident=None)
     # aligned to the (16, 128) bf16 tile. XLA's native bf16 dot (exact f32
     # MXU accumulate — the same lowering the f8 tier rides to 91% of ITS
     # roofline at n=2^29) streams the unpadded buffers instead.
+    # Hardware-validated on v5e (probe_r4c at n=123456791): this route
+    # 373.7 GF/s vs the pad fallback's 114.5, matching aligned 2^27 375.2.
     if (
         not interpret
         and auto_resident

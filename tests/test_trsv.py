@@ -533,3 +533,43 @@ def test_trsv_setup_df64_inverse_end_to_end():
     finally:
         trsvops._PROBE_SETUP_DF64_INV = False
     assert got < 5e-5 and got < base * 1.5, (got, base)
+
+
+def test_refine_gate_scope():
+    """Per-app diag-block refinement applies ONLY to f32 storage at
+    n >= 512 (round 4, measured on v5e): at 128/256 the inv-apply solution
+    already ties XLA TriangularSolve exactly and refining halved throughput
+    (28.8 -> 16.0 GF/s at 128, trsv_flops.csv); on bf16/f16 storage the
+    truncation error dominates what refinement fixes by 3+ orders while
+    costing ~10% (690.6 -> 622.7 at 24576). Pin the gate: toggling the
+    probe kill-switch must be a bit-for-bit no-op exactly where the gate
+    says refinement is off, and must change bits where it says on."""
+
+    def solve_both(a, b):
+        got = np.asarray(trsvops._trsv_small(a, b, "upper", False, "f32"),
+                         np.float64)
+        trsvops._PROBE_DISABLE_REFINE = True
+        try:
+            raw = np.asarray(trsvops._trsv_small(a, b, "upper", False, "f32"),
+                             np.float64)
+        finally:
+            trsvops._PROBE_DISABLE_REFINE = False
+        return got, raw
+
+    # f32 storage, n >= 512: refinement active (bits differ, both at floor)
+    lu, b64 = _packed_lu(1024)
+    ref = _ref_solve(lu, b64, "upper", False)
+    got, raw = solve_both(jnp.asarray(lu, jnp.float32),
+                          jnp.asarray(b64, jnp.float32))
+    assert not np.array_equal(got, raw)
+    assert _rel(got, ref) < 5e-6 and _rel(raw, ref) < 5e-6
+    # f32 storage, n < 512: gate off -> kill-switch is a no-op
+    lu, b64 = _packed_lu(256)
+    got, raw = solve_both(jnp.asarray(lu, jnp.float32),
+                          jnp.asarray(b64, jnp.float32))
+    np.testing.assert_array_equal(got, raw)
+    # narrow storage at large n: gate off -> kill-switch is a no-op
+    lu, b64 = _packed_lu(1024)
+    got, raw = solve_both(jnp.asarray(lu, jnp.bfloat16),
+                          jnp.asarray(b64, jnp.bfloat16))
+    np.testing.assert_array_equal(got, raw)
