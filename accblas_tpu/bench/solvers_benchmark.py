@@ -102,11 +102,14 @@ def _pcg_table(n: int, iters: int):
         ("bf16/f32", ab, "f32"),
         ("bf16/df64", ab, "df64"),
     ]
-    common.emit_header(
-        "n", [f"pcg {nm} {c}" for nm, _, _ in variants for c in ("resid", "cg resid")]
-    )
+    # one CSV row PER VARIANT, flushed as soon as it is measured: the
+    # round-4 capture died after 1 of 4 variants and the then
+    # buffer-to-the-end emitter lost everything (the exact failure mode the
+    # reference's DOT driver has, ``cuda/dot_benchmark.cu:177-189`` — and
+    # the one the repo's checkpoint/resume story exists to avoid)
+    print(common.DELIM.join(["n", "variant", "pcg resid", "cg resid"]),
+          flush=True)
     common.progress(f"pcg mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    vals = []
     for nm, a, ar in variants:
         def one(nm=nm, a=a, ar=ar):
             xp, rsp, itp = jax.jit(
@@ -128,8 +131,8 @@ def _pcg_table(n: int, iters: int):
         except Exception as e:  # noqa: BLE001 - per-variant fault isolation
             common.progress(f"FAILED pcg {nm}: {type(e).__name__}: {str(e)[:200]}")
             rp, rs = float("nan"), float("nan")
-        vals.extend([rp, rs])
-    common.emit_row(n, vals)
+        print(common.DELIM.join([str(n), nm, common.fmt(rp), common.fmt(rs)]),
+              flush=True)
 
 
 def main():
@@ -153,67 +156,74 @@ def main():
     if args.pcg:
         _pcg_table(args.size, args.iters)
         return
-    n = args.size
-    a32, b = _spd_device(n, seed=42)
-    ab = a32.astype(jnp.bfloat16)
-    jax.block_until_ready((a32, ab, b))
 
-    variants = [
-        ("CG f32/f32", a32, "f32"),
-        ("CG f32/df64", a32, "df64"),
-        ("CG bf16/f32", ab, "f32"),
-        ("CG bf16/df64", ab, "df64"),
-    ]
-    common.emit_header("n", [f"{name} {col}" for name, _, _ in variants
+    # size sweep (round-4 VERDICT #6: the application-level accessor claims
+    # — df64 dot cost, bf16 iteration speedup, residual floors — should be
+    # curves, not one point); rows emit per size, kill-safe
+    sizes = common.sweep_sizes(args, MIN_SIZE, 256, dense_step=2048)
+    names = ["CG f32/f32", "CG f32/df64", "CG bf16/f32", "CG bf16/df64"]
+    common.emit_header("n", [f"{name} {col}" for name in names
                              for col in ("it_per_s", "resid")])
 
     from ..utils.bench import benchmark_loop
 
-    vals = []
-    for name, a, ar in variants:
-        def cg_ms(iters, a=a, ar=ar):
-            """Per-call ms for a full `iters`-iteration CG solve, via the
-            chained in-device loop (x_out -> clipped next rhs)."""
-            import jax.numpy as jnp
+    for n in sizes:
+        a32, b = _spd_device(n, seed=42)
+        ab = a32.astype(jnp.bfloat16)
+        jax.block_until_ready((a32, ab, b))
+        variants = [
+            (names[0], a32, "f32"),
+            (names[1], a32, "df64"),
+            (names[2], ab, "f32"),
+            (names[3], ab, "df64"),
+        ]
 
-            def body(c, a):
-                x, rs, it = solvers.cg(a, jnp.clip(c, -1.0, 1.0),
-                                       iters=iters, ar=ar, tol=0.0)
-                return x
+        vals = []
+        for name, a, ar in variants:
+            def cg_ms(iters, a=a, ar=ar):
+                """Per-call ms for a full `iters`-iteration CG solve, via the
+                chained in-device loop (x_out -> clipped next rhs)."""
+                import jax.numpy as jnp
 
-            return benchmark_loop(body, b, args=(a,))
+                def body(c, a):
+                    x, rs, it = solvers.cg(a, jnp.clip(c, -1.0, 1.0),
+                                           iters=iters, ar=ar, tol=0.0)
+                    return x
 
-        def measure(name=name, a=a, ar=ar):
-            out_hi = jax.jit(
-                functools.partial(solvers.cg, iters=ITERS_HI, ar=ar, tol=0.0)
-            )(a, b)
-            t_lo = cg_ms(ITERS_LO)
-            t_hi = cg_ms(ITERS_HI)
-            # a non-positive slope means the two budgets did the same device
-            # work — report NaN, not a fiction (a pegged guard value once
-            # slipped into solvers.csv looking like a plausible rate)
-            if t_hi > t_lo:
-                rate = (ITERS_HI - ITERS_LO) / (t_hi - t_lo) * 1e3
-            else:
-                rate = float("nan")
-            resid = _df64_residual(a32, b, out_hi[0])
-            common.progress(
-                f"{name}: {rate:.1f} it/s ({t_lo:.2f}/{t_hi:.2f} ms at "
-                f"{ITERS_LO}/{ITERS_HI} iters), resid {resid:.3e}"
-            )
-            return rate, resid
+                return benchmark_loop(body, b, args=(a,))
 
-        try:
-            rate, resid = measure()
-        except Exception as e:  # noqa: BLE001 - per-variant fault isolation
-            common.progress(f"FAILED {name}: {type(e).__name__}: {str(e)[:200]}")
-            rate, resid = float("nan"), float("nan")
-        vals.extend([rate, resid])
-    common.emit_row(n, vals)
+            def measure(name=name, a=a, ar=ar):
+                out_hi = jax.jit(
+                    functools.partial(solvers.cg, iters=ITERS_HI, ar=ar, tol=0.0)
+                )(a, b)
+                t_lo = cg_ms(ITERS_LO)
+                t_hi = cg_ms(ITERS_HI)
+                # a non-positive slope means the two budgets did the same
+                # device work — report NaN, not a fiction (a pegged guard
+                # value once slipped into solvers.csv looking like a
+                # plausible rate)
+                if t_hi > t_lo:
+                    rate = (ITERS_HI - ITERS_LO) / (t_hi - t_lo) * 1e3
+                else:
+                    rate = float("nan")
+                resid = _df64_residual(a32, b, out_hi[0])
+                common.progress(
+                    f"n={n} {name}: {rate:.1f} it/s ({t_lo:.2f}/{t_hi:.2f} ms "
+                    f"at {ITERS_LO}/{ITERS_HI} iters), resid {resid:.3e}"
+                )
+                return rate, resid
+
+            try:
+                rate, resid = measure()
+            except Exception as e:  # noqa: BLE001 - per-variant fault isolation
+                common.progress(f"FAILED n={n} {name}: {type(e).__name__}: {str(e)[:200]}")
+                rate, resid = float("nan"), float("nan")
+            vals.extend([rate, resid])
+        common.emit_row(n, vals)
 
     # the two other solver demos: one line each on stderr (their value is the
     # convergence property, asserted in tests; here just hardware liveness +
-    # rates at the same size)
+    # rates at the endpoint size)
     x, rhist = jax.jit(
         functools.partial(solvers.richardson_refine, iters=6, ar="df64")
     )(ab, a32, b)

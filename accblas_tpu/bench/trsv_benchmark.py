@@ -106,6 +106,7 @@ def main():
     b32_full = jax.device_put(b64.astype(np.float32))
     ab_full = a32_full.astype(jnp.bfloat16)
     ah_full = a32_full.astype(jnp.float16)
+    af8_full = a32_full.astype(jnp.float8_e4m3fn)
 
     op = "TRSM" if nrhs else "TRSV"
     solve = trsvops.trsm if nrhs else trsvops.trsv
@@ -126,6 +127,17 @@ def main():
     run_acc_f16 = jax.jit(
         lambda a, b: acc_solve(a, b, uplo, unit, ar="f32", unstable_ok=True)
     )
+    # f8e4m3 storage: throughput-only column (flops mode). Its error column
+    # is deliberately out of the benched matrix: the 3-bit mantissa's
+    # storage-truncation error reaches O(1) on LU-factor triangles even
+    # below the bf16 envelope (the bf16 column already demonstrates the
+    # narrow-storage blow-up class in trsv_error.csv — 0.95 at 24576), so
+    # an f8 error row would only restate it louder. Single-rhs large-n f8
+    # rides the Pallas sweep (Mosaic loads fp8 tiles natively; see
+    # ops/trsv.py _use_small).
+    run_acc_f8 = jax.jit(
+        lambda a, b: acc_solve(a, b, uplo, unit, ar="f32", unstable_ok=True)
+    )
     run_acc_df = jax.jit(lambda a, b: acc_solve(a, b, uplo, unit, ar="df64"))
     run_xla = jax.jit(lambda a, b: xla_solve(a, b, uplo, unit))
 
@@ -142,12 +154,14 @@ def main():
         f"{op} Acc<f32,f32>",
         f"{op} Acc<f32,bf16>",
         f"{op} Acc<f32,f16>",
+        f"{op} Acc<f32,f8e4m3>",
         f"{op} Acc<df64,f32>",
         f"{op} Acc<df64,f32> cold",
         f"XLA {op} fp32",
     ]
     if args.error:
-        names = [nm for nm in names if not nm.endswith(" cold")]
+        names = [nm for nm in names
+                 if not (nm.endswith(" cold") or "f8e4m3" in nm)]
         if not nrhs:
             names.append(f"{op} df64 oracle (device)")
     common.emit_header("n", names)
@@ -168,19 +182,22 @@ def main():
         b32 = b32_full[:n]
         ab = ab_full[:n, :n]
         ah = ah_full[:n, :n]
+        af8 = af8_full[:n, :n]
 
+        # entry tuples: (fn, operands, cold, f8)
         entries = [
-            (run_f32, (a32, b32), False),
-            (run_f32, (a32, b32), True),
-            (run_acc_f32, (a32, b32), False),
-            (run_acc_f32b, (ab, b32), False),
-            (run_acc_f16, (ah, b32), False),
-            (run_acc_df, (a32, b32), False),
-            (run_acc_df, (a32, b32), True),
-            (run_xla, (a32, b32), False),
+            (run_f32, (a32, b32), False, False),
+            (run_f32, (a32, b32), True, False),
+            (run_acc_f32, (a32, b32), False, False),
+            (run_acc_f32b, (ab, b32), False, False),
+            (run_acc_f16, (ah, b32), False, False),
+            (run_acc_f8, (af8, b32), False, True),
+            (run_acc_df, (a32, b32), False, False),
+            (run_acc_df, (a32, b32), True, False),
+            (run_xla, (a32, b32), False, False),
         ]
         if args.error:
-            entries = [e for e in entries if not e[2]]
+            entries = [e for e in entries if not (e[2] or e[3])]
 
         if args.error:
             t = np.triu(lu64[:n, :n]) if uplo == "upper" else np.tril(lu64[:n, :n])
@@ -196,7 +213,7 @@ def main():
                     ),
                     f"entry n={n}",
                 )
-                for fn, ops_, _ in entries
+                for fn, ops_, *_ in entries
             ]
             if not nrhs:
                 def eval_oracle():
@@ -216,7 +233,7 @@ def main():
             # true data dependence; optimization_barrier tuples proved
             # unreliable for pinning loop-invariant work on this toolchain
             vals = []
-            for fn, ops_, cold in entries:
+            for fn, ops_, cold, _f8 in entries:
                 a_, b_ = ops_
 
                 if cold:

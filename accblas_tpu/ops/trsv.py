@@ -165,21 +165,22 @@ def _masked_tri_inverse(d, lower: bool, unit: bool, *, n=None, offs=None):
 def _df_tri_inverse(d, lower: bool, unit: bool):
     """f32 inverse of a (g, s, s) triangular-block stack, correctly rounded.
 
-    Double-float back-substitution against the identity in pure XLA ops
-    (plain HLO — hoists out of repeated-solve loops exactly like the f32
-    ``triangular_solve`` it replaces; a Pallas setup call would not, and the
-    fused df64 TRSM's leaf-level inverse applications measurably do NOT
-    reach rounding class — its block inverse sat at the same normwise
-    distance from the exact inverse as the f32 one, 2.5e-6). Products are
-    exact (``two_prod``), the carried inverse rows and the accumulators are
-    (hi, lo) pairs, so the returned ``hi`` is fl32 of the exact inverse of
-    the stored block. The probe_r4f/r4g model on the LU triangle shows
-    inv-only application of a rounding-class inverse lands BELOW
-    substitution-class error (1-norm 3.1e-6 vs f32-inverse 2.1e-5,
-    per-app refine 4.6e-6, scipy f32 substitution 5.3e-6 at n=1024 with
-    512-blocks), so the per-application refinement can be dropped where
-    this inverse is used (refine OFF measured 385 vs refined 341 GF/s at
-    24576, scripts/probe_r4d.py)."""
+    PROBE-ONLY — REJECTED ON HARDWARE as a default route (probe_r4g_hw,
+    commit a10da35): the hypothesis was that this pure-HLO double-float
+    setup would hoist out of repeated-solve loops like the f32
+    ``triangular_solve`` it replaces, making its cost free in the warm
+    regime. The v5e measurement says otherwise — XLA does NOT hoist the
+    scan-based DF substitution (2.7 GF/s warm at n=24576, i.e. the setup
+    re-ran inside the timed loop), so the route lost to the shipped
+    per-application refinement and the aligned-large-n Pallas-sweep
+    reroute. Kept (behind ``_PROBE_SETUP_DF64_INV``) as the measured
+    record of WHY inv-setup-in-HLO is dead, and because the numerics
+    remain valid: products are exact (``two_prod``), the carried inverse
+    rows and accumulators are (hi, lo) pairs, so the returned ``hi`` is
+    fl32 of the exact inverse of the stored block; the probe_r4f/r4g
+    numpy model showed inv-only application of such a rounding-class
+    inverse lands below substitution-class error (1-norm 3.1e-6 vs
+    f32-inverse 2.1e-5 at n=1024 with 512-blocks)."""
     g, s, _ = d.shape
     d = tri_mask(d, lower, unit)
     idx = jnp.arange(s)
@@ -504,11 +505,12 @@ _PROBE_DISABLE_REFINE = False
 
 # probe-only (scripts/probe_r4g_hw.py): compute the full diagonal-block
 # inverses by double-float substitution against the identity
-# (_df_tri_inverse — pure HLO, hoists like the f32 triangular_solve) and
-# skip the per-application refinement for those blocks. The probe_r4f/r4g
-# numpy model shows inv-only application of a rounding-class inverse lands
-# below substitution-class error — refine-OFF speed at better-than-refined
-# accuracy. Promoted to the default route if the hardware probe confirms.
+# (_df_tri_inverse) and skip the per-application refinement for those
+# blocks. REJECTED on hardware (probe_r4g_hw, commit a10da35): the
+# scan-based DF setup does NOT hoist out of repeated-solve loops —
+# 2.7 GF/s warm at n=24576 — so the shipped routes (per-app refinement +
+# the aligned-large-n Pallas-sweep reroute) stand. Never set in library
+# use; retained only so the rejection stays reproducible.
 _PROBE_SETUP_DF64_INV = False
 
 
@@ -670,9 +672,12 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
     # error costs ~8%; the sweep's 256-wide leaves keep inv-apply error at
     # the storage floor without it: 6.98e-5 vs 6.24e-5, both beating XLA's
     # 8.68e-5). Ragged/odd n stays blocked (the sweep measured 194 GF/s at
-    # 12416 vs the blocked route's ragged-immune 364); below 8192 the
-    # blocked route is faster (344 vs 247 at 4096, probe_r3e).
-    if (k == 1 and st == "f32" and n >= 8192 and n % BLOCK_VEC == 0):
+    # 12416 vs the blocked route's ragged-immune 364); below 8*BLOCK_VEC
+    # the blocked route is faster (344 vs 247 at 4096, probe_r3e). The
+    # threshold is written as 8*BLOCK_VEC because _trsm_impl only selects
+    # the validated BLOCK_VEC/LEAF_VEC sweep schedule at n >= 8*BLOCK_VEC —
+    # a retuned BLOCK_VEC must move both gates together (advisor round 4).
+    if (k == 1 and st == "f32" and n >= 8 * BLOCK_VEC and n % BLOCK_VEC == 0):
         return False
     return (n <= RESIDENT_N
             or (k == 1 and st in ("f32", "bf16", "f16"))

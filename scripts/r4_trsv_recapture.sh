@@ -7,7 +7,15 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export PYTHONFAULTHANDLER=1
-echo $$ > /tmp/r4_trsv_recapture.pid
+PIDFILE=/tmp/r4_trsv_recapture.pid
+# single-instance guard: two concurrent runs would contend for the
+# single-process TPU (CLAUDE.md hard failure mode) — kill -0 by PID from
+# the pidfile, never by pattern
+if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
+  echo "r4_trsv_recapture already running (pid $(cat "$PIDFILE")); exiting" >&2
+  exit 1
+fi
+echo $$ > "$PIDFILE"
 LOG=bench_results/r4_trsv_recapture.log
 echo "r4_trsv_recapture start $(date +%H:%M:%S)" | tee -a "$LOG"
 

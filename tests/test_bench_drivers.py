@@ -120,6 +120,30 @@ def test_trsm_driver_mode(capsys):
     assert vals["TRSM Acc<df64,f32>"] <= vals["TRSM fp32"] * 1.2
 
 
+def test_pcg_table_emits_per_variant(capsys):
+    """--pcg emits one flushed CSV row PER VARIANT (kill-safe: the round-4
+    capture died after 1 of 4 variants and the buffer-to-the-end emitter
+    lost everything); convergence parity sharded vs single-chip per tier."""
+    import math
+
+    from accblas_tpu.bench import solvers_benchmark as s
+
+    header, rows = _run_main(
+        s, ["solvers_benchmark", "--size", "512", "--pcg", "--iters", "40"],
+        capsys,
+    )
+    assert header == ["n", "variant", "pcg resid", "cg resid"]
+    assert [r[1] for r in rows] == ["f32/f32", "f32/df64", "bf16/f32",
+                                    "bf16/df64"]
+    for r in rows:
+        rp, rs = float(r[2]), float(r[3])
+        assert math.isfinite(rp) and math.isfinite(rs)
+        # sharded recurrence tracks the single-chip one per tier (same
+        # class of partial convergence, not bitwise)
+        assert rp < 1.0 and rs < 1.0
+        assert rp <= rs * 10 + 1e-12 and rs <= rp * 10 + 1e-12
+
+
 def test_solvers_driver_smoke(capsys, monkeypatch):
     """CG rate/residual driver at a tiny size with shortened iteration
     budgets (the real campaign runs n=8192 on hardware)."""
