@@ -42,13 +42,22 @@ from ..ops import dot as dotops
 from ..ops import gemv as gemvops
 
 
-def make_mesh(n_devices: int | None = None, axes=("rows", "cols")) -> Mesh:
+def make_mesh(n_devices: int | None = None, axes=("rows", "cols"),
+              shape: tuple[int, int] | None = None) -> Mesh:
     """A 2-D mesh over the first n devices: rows × cols, as square as the
-    device count allows (8 → 2×4)."""
+    device count allows (8 → 2×4). Pass an explicit ``shape=(rows, cols)``
+    to pin a different factorization (1×8, 8×1, 4×2 — the degenerate and
+    transposed meshes a real slice topology may force; every op in this
+    module must work on all of them, multi-chip readiness pack round 5)."""
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
     devs = devs[:n_devices]
+    if shape is not None:
+        rows, cols = shape
+        if rows * cols != n_devices:
+            raise ValueError(f"mesh shape {shape} != {n_devices} devices")
+        return Mesh(np.array(devs).reshape(rows, cols), axes)
     rows = 1
     for cand in range(int(np.sqrt(n_devices)), 0, -1):
         if n_devices % cand == 0:

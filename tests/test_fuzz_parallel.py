@@ -164,6 +164,74 @@ def test_fuzz_ptrsm_uneven_rhs(k, mesh):
     test_fuzz_ptrsm(257, k, "upper", False, "f32", mesh)
 
 
+# --- mesh-shape fuzz: every op on the degenerate / transposed meshes a
+# real slice topology may force (1x8, 8x1, 4x2 — multi-chip readiness
+# pack, round 5). Shapes are uneven on purpose so the _pad_to path is
+# exercised per mesh extent too. --------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (8, 1), (4, 2)])
+def test_fuzz_mesh_shapes(shape):
+    from accblas_tpu.models import solvers
+    from accblas_tpu.parallel import pcg, ptrsv
+
+    mesh2 = make_mesh(8, shape=shape)
+    n = 8 * 37 + 3  # uneven vs every extent
+
+    # pdot df64: exact DF combine over the cols axis at this extent
+    x64 = gen_mtx(MatrixInfo(1, n), seed=shape[0] * 100 + n)[0]
+    y64 = gen_mtx(MatrixInfo(1, n), seed=shape[0] * 100 + n + 1)[0]
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    ref = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+    out = pdot(x, y, mesh2, axis="cols", ar="df64")
+    scale = float(np.abs(np.asarray(x, np.float64) * np.asarray(y, np.float64)).sum())
+    assert abs(float(out.hi) + float(out.lo) - ref) / scale < 3e-6
+
+    # pgemv df64 (rows x cols sharded, beta=1)
+    m = 8 * 23 + 5
+    a64 = gen_mtx(MatrixInfo(m, n), seed=m + n)
+    r64 = gen_mtx(MatrixInfo(1, m), seed=m)[0]
+    a = jnp.asarray(a64, jnp.float32)
+    r = jnp.asarray(r64, jnp.float32)
+    gref = np.asarray(a, np.float64) @ np.asarray(x, np.float64) + np.asarray(
+        r, np.float64
+    )
+    got = np.asarray(pgemv(a, x, r, 1.0, 1.0, ar="df64", mesh=mesh2), np.float64)
+    assert np.linalg.norm(got - gref, 1) / np.linalg.norm(gref, 1) < 3e-6
+
+    # ptrsv row-sharded over this mesh's rows extent
+    a64t = gen_mtx(MatrixInfo(m, m), seed=m) + np.eye(m) * (0.25 * m)
+    lu, _ = scipy.linalg.lu_factor(a64t)
+    t = np.triu(lu)
+    b64 = gen_mtx(MatrixInfo(1, m), seed=m + 7)[0]
+    tref = scipy.linalg.solve_triangular(t, b64, lower=False)
+    xv = np.asarray(
+        ptrsv(jnp.asarray(lu, jnp.float32), jnp.asarray(b64, jnp.float32),
+              "upper", False, ar="f32", mesh=mesh2),
+        np.float64,
+    )
+    assert np.linalg.norm(xv - tref, 1) / np.linalg.norm(tref, 1) < 3e-5
+
+    # pcg on bf16 AND f32 storage: the sharded recurrence must track the
+    # single-chip cg per tier on every mesh shape
+    ns = 8 * 16
+    s64 = gen_mtx(MatrixInfo(ns, ns), seed=ns)
+    spd64 = s64 @ s64.T / ns + np.eye(ns) * 0.5
+    bs = jnp.asarray(gen_mtx(MatrixInfo(1, ns), seed=ns + 1)[0], jnp.float32)
+    for st_dtype, ar in ((jnp.float32, "df64"), (jnp.bfloat16, "f32")):
+        a_spd = jnp.asarray(spd64, jnp.float32).astype(st_dtype)
+        xp, rsp, itp = pcg(a_spd, bs, mesh=mesh2, iters=40, ar=ar, tol=0.0)
+        xs_, rss, its = solvers.cg(a_spd, bs, iters=40, ar=ar, tol=0.0)
+        rp = float(rsp)
+        rs = float(rss)
+        assert np.isfinite(rp) and np.isfinite(rs)
+        # same convergence class (not bitwise): residuals within 10x
+        assert rp <= rs * 10 + 1e-12 and rs <= rp * 10 + 1e-12, (
+            f"shape={shape} {st_dtype}/{ar}: pcg {rp:.3e} vs cg {rs:.3e}"
+        )
+
+
 # --- row-sharded TRSV ------------------------------------------------------
 
 from accblas_tpu.parallel import ptrsv  # noqa: E402
