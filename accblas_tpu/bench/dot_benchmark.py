@@ -139,7 +139,13 @@ def main():
     max_n = max(sizes)
     variants = [v for v in VARIANTS if args.error or v[2] != "oracle"]
     names = [v[0] for v in variants]
-    results = {n: {} for n in sizes}  # buffered, printed at the end
+    # error mode buffers rows (the median needs every randomization before a
+    # row is complete); speed mode emits one flushed row per size — the
+    # round-5 dense DOT capture died mid-sweep in a host reboot and the then
+    # buffer-to-the-end emitter lost 22 minutes of measurements (the exact
+    # failure mode of the reference's own DOT driver,
+    # ``cuda/dot_benchmark.cu:177-189``)
+    results = {n: {} for n in sizes}
 
     if args.error:
         errs = {n: {nm: [] for nm in names} for n in sizes}
@@ -219,30 +225,37 @@ def main():
                 del xh, xl, yh, yl
         for n in sizes:
             results[n] = {nm: common.median(errs[n][nm]) for nm in names}
+        common.emit_header("n", names)
+        for n in sizes:
+            common.emit_row(n, [results[n][nm] for nm in names])
     else:
         x32 = devgen.gen_f32((max_n,), seed, "dot_x", 0)
         y32 = devgen.gen_f32((max_n,), seed, "dot_y", 0)
         fams = sorted({v[1] for v in variants})
-        for fam in fams:
-            xf, yf = _family_arrays(fam, x32, y32, seed, 0)
-            for nm, f, kind, kw in variants:
-                if f != fam:
-                    continue
-                body = _timing_body(kind, kw, jnp, dotops)
-                for n in sizes:
-                    xs, ys = _lead(xf, n), _lead(yf, n)
-                    c0 = (jnp.float32(0.0), ys)
-                    results[n][nm] = common.guarded(
-                        lambda: 2.0 * n / (benchmark_loop(body, c0, args=(xs, ys)) * 1e-3) / 1e9,
+        bodies = {nm: _timing_body(kind, kw, jnp, dotops)
+                  for nm, f, kind, kw in variants}
+        common.emit_header("n", names)
+        for n in sizes:
+            # size-outer so the row flushes as soon as its last variant
+            # lands; family operands derive from leading slices of the f32
+            # master (a cast/SR pass per (family, size) — microseconds on
+            # device next to the timed loop, and only one family's copy is
+            # ever resident)
+            xs32, ys32 = _lead(x32, n), _lead(y32, n)
+            row = {}
+            for fam in fams:
+                xf, yf = _family_arrays(fam, xs32, ys32, seed, 0)
+                for nm, f, kind, kw in variants:
+                    if f != fam:
+                        continue
+                    c0 = (jnp.float32(0.0), yf)
+                    row[nm] = common.guarded(
+                        lambda: 2.0 * n / (benchmark_loop(bodies[nm], c0, args=(xf, yf)) * 1e-3) / 1e9,
                         f"{nm} n={n}",
                     )
-                    common.progress(f"{nm} n={n}: {results[n][nm]:.1f} GFLOP/s")
-            if fam != "f32":
+                    common.progress(f"{nm} n={n}: {row[nm]:.1f} GFLOP/s")
                 del xf, yf
-
-    common.emit_header("n", names)
-    for n in sizes:
-        common.emit_row(n, [results[n][nm] for nm in names])
+            common.emit_row(n, [row[nm] for nm in names])
 
 
 def _lead(a, n: int):

@@ -75,6 +75,23 @@ def test_benchmark_loop_on_cpu():
     assert ms >= 0.0
 
 
+def test_dot_driver_speed_mode_rows_per_size(capsys):
+    """Speed mode emits one complete CSV row per size (size-outer sweep,
+    kill-safe: a mid-sweep death keeps every finished size — the round-5
+    dense capture lost 22 min of points to the old buffer-to-the-end
+    emitter when the host rebooted)."""
+    from accblas_tpu.bench import dot_benchmark as d
+
+    header, rows = _run_main(
+        d, ["dot_benchmark", "--size=32768", "--sweep=pow2"], capsys
+    )
+    assert header[0] == "n"
+    assert len(rows) == 2 and all(len(r) == len(header) for r in rows)
+    assert [int(r[0]) for r in rows] == [16384, 32768]
+    vals = dict(zip(header[1:], map(float, rows[0][1:])))
+    assert np.isfinite(vals["DOT fp32"]) and vals["DOT fp32"] > 0
+
+
 def test_plot_generation(tmp_path):
     from accblas_tpu.bench import plot
 
