@@ -197,10 +197,6 @@ def _dot_kernel(
             p, e = dfm.two_prod(xa, ya)
         else:
             p, e = xa * ya, None
-        if ragged:
-            p = _mask(p, 0.0)
-            if e is not None:
-                e = _mask(e, 0.0)
         # interleaved compensated chains at (rows_acc, 128) granularity:
         # acc_hi holds the running sums s of all chains stacked, acc_lo the
         # compensation channel c. Full-tile shapes at high VPU occupancy
@@ -214,24 +210,40 @@ def _dot_kernel(
         #   the two_prod low words) — arithmetic error ~2^-48, first-order
         #   losses zero (Kahan's per-step capture is only first-order, which
         #   would bury the exact product corrections).
-        s_all = acc_hi[...]
-        c_all = acc_lo[...]
-        ss = [s_all[ch * rows_acc : (ch + 1) * rows_acc] for ch in range(chains)]
-        cs = [c_all[ch * rows_acc : (ch + 1) * rows_acc] for ch in range(chains)]
-        for k0 in range(block_rows // rows_acc):
-            ch = k0 % chains
-            pk = p[k0 * rows_acc : (k0 + 1) * rows_acc]
-            if precise:
-                s_new, e_new = dfm.two_sum(ss[ch], pk)
-                cs[ch] = cs[ch] + (e_new + e[k0 * rows_acc : (k0 + 1) * rows_acc])
-                ss[ch] = s_new
-            else:
-                y = pk - cs[ch]
-                t = ss[ch] + y
-                cs[ch] = (t - ss[ch]) - y
-                ss[ch] = t
-        acc_hi[...] = jnp.concatenate(ss, 0)
-        acc_lo[...] = jnp.concatenate(cs, 0)
+        def _accum_df(p, e):
+            s_all = acc_hi[...]
+            c_all = acc_lo[...]
+            ss = [s_all[ch * rows_acc : (ch + 1) * rows_acc] for ch in range(chains)]
+            cs = [c_all[ch * rows_acc : (ch + 1) * rows_acc] for ch in range(chains)]
+            for k0 in range(block_rows // rows_acc):
+                ch = k0 % chains
+                pk = p[k0 * rows_acc : (k0 + 1) * rows_acc]
+                if precise:
+                    s_new, e_new = dfm.two_sum(ss[ch], pk)
+                    cs[ch] = cs[ch] + (e_new + e[k0 * rows_acc : (k0 + 1) * rows_acc])
+                    ss[ch] = s_new
+                else:
+                    y = pk - cs[ch]
+                    t = ss[ch] + y
+                    cs[ch] = (t - ss[ch]) - y
+                    ss[ch] = t
+            acc_hi[...] = jnp.concatenate(ss, 0)
+            acc_lo[...] = jnp.concatenate(cs, 0)
+
+        if ragged:
+            # the garbage rows/elements live only in the FINAL block — the
+            # iota mask runs there alone. Masking inline on every step cost
+            # the VPU-bound bf16 tiers ~6% across the whole dense grid
+            # (355 vs 377 GF/s, round-5 dense capture).
+            @pl.when(i < n_steps - 1)
+            def _full():
+                _accum_df(p, e)
+
+            @pl.when(i == n_steps - 1)
+            def _tail():
+                _accum_df(_mask(p, 0.0), None if e is None else _mask(e, 0.0))
+        else:
+            _accum_df(p, e)
     else:
         ar_dt = dtypes.jnp_dtype(ar)
         xa = rx.load()
@@ -240,16 +252,29 @@ def _dot_kernel(
             xa = xa.reshape(-1, 128)
             ya = ya.reshape(-1, 128)
         p = (xa * ya).astype(ar_dt)
+
+        def _accum_tree(p):
+            sub = acc_hi.shape[0]
+            # pairwise tree of elementwise adds in the arithmetic dtype
+            # (Mosaic has no sub-32-bit reduce ops; block_rows and sub are
+            # powers of two)
+            pr = p.reshape(block_rows // sub, sub, 128)
+            while pr.shape[0] > 1:
+                half = pr.shape[0] // 2
+                pr = pr[:half] + pr[half:]
+            acc_hi[...] = acc_hi[...] + pr[0]
+
         if ragged:
-            p = _mask(p, jnp.zeros((), ar_dt))
-        sub = acc_hi.shape[0]
-        # pairwise tree of elementwise adds in the arithmetic dtype (Mosaic
-        # has no sub-32-bit reduce ops; block_rows and sub are powers of two)
-        pr = p.reshape(block_rows // sub, sub, 128)
-        while pr.shape[0] > 1:
-            half = pr.shape[0] // 2
-            pr = pr[:half] + pr[half:]
-        acc_hi[...] = acc_hi[...] + pr[0]
+            # final-block-only masking; see the df64 branch note
+            @pl.when(i < n_steps - 1)
+            def _full():
+                _accum_tree(p)
+
+            @pl.when(i == n_steps - 1)
+            def _tail():
+                _accum_tree(_mask(p, jnp.zeros((), ar_dt)))
+        else:
+            _accum_tree(p)
 
     @pl.when(i == n_steps - 1)
     def _finish():

@@ -348,3 +348,39 @@ def test_ragged_bf16_xla_route_semantics(n):
     assert _rel(got_xla, ref_stored) < 1e-5
     got_stream = float(dotops.acc_dot(xb, yb, ar="f32"))
     assert _rel(got_stream, ref_stored) < 1e-5
+
+
+@pytest.mark.parametrize(
+    "n",
+    [
+        2 * 2048 * 128 + 8192,   # 3 grid steps, partial final block (64 rows)
+        2 * 2048 * 128 + 777,    # 1-D zero-copy layout: element tail too
+    ],
+)
+def test_multi_step_partial_tail_block(n):
+    """rows % block_rows != 0 with n_steps > 1 — the tail-only masking path.
+
+    Round-5 finding: masking inline on EVERY grid step cost the VPU-bound
+    bf16 tiers ~6% across the dense grid (355 vs 377 GF/s); the mask now
+    runs only in the final (partial) block, so multi-step ragged sums must
+    still drop the garbage tail exactly."""
+    x64, y64 = _vecs(n, seed=33)
+    x = jnp.asarray(x64, jnp.float32)
+    y = jnp.asarray(y64, jnp.float32)
+    ref = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+    got = float(dotops.dot(x, y, resident=False))
+    assert _rel(got, ref) < 5e-5
+    out = dotops.acc_dot(x, y, ar="df64", precise=True, resident=False)
+    assert _rel(float(df64.df_to_f64(out)), ref) < 1e-11
+    out_fast = dotops.acc_dot(x, y, ar="df64", resident=False)
+    assert _rel(float(df64.df_to_f64(out_fast)), ref) < 5e-7
+    if n % 128 == 0:  # bf16 streaming kernel (ragged 1-D view is f32-only)
+        xb = x.astype(jnp.bfloat16)
+        yb = y.astype(jnp.bfloat16)
+        ref_b = np.asarray(xb.astype(jnp.float32), np.float64) @ np.asarray(
+            yb.astype(jnp.float32), np.float64
+        )
+        got_b = float(dotops.acc_dot(xb, yb, ar="f32", resident=False))
+        assert _rel(got_b, ref_b) < 1e-5
+        got_fixed = float(dotops.dot(xb, yb, resident=False).astype(jnp.float32))
+        assert _rel(got_fixed, ref_b) < 0.3
