@@ -629,6 +629,90 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     return x[:, 0] if vec else x
 
 
+def _trsm_small_df64(a, b, uplo: str, unit: bool, st_out: str,
+                     refine: bool = True):
+    """Blocked-XLA df64 TRSM: the `_trsv_small` schedule with the solved
+    panels and the correction carried as double-float (hi, lo) pairs in
+    plain HLO (probe_r5b, round 5).
+
+    Why this exists: probe_r5a measured the fused Mosaic sweep's df64 TRSM
+    time INVARIANT to rhs grouping, block size, and MXU precision mode
+    (10.3 TF/s at n=16384 k=128 under every knob) — it is uniformly
+    Mosaic-schedule-bound, while the fixed f32 tier rides this blocked-XLA
+    schedule at 24.8 TF/s on the SAME MXU work. Carrying the DF pair
+    through XLA GEMMs recovers that schedule for the df64 tier: hi-part
+    products run at HIGHEST (true f32 MXU passes), lo-part products at
+    default precision — the lo terms ride ~2^-24 below the hi ones, so a
+    single bf16-operand pass is already under the f32 product floor — and
+    cross-block accumulation folds with exact `two_sum` (df_add), matching
+    the sweep's VMEM DF carry. Accuracy lands in the same f32-storage
+    floor class as the one-pass sweep (probe_r5b error rows); the
+    reference's analogue is its ar_type shared memory
+    (cuda/trsv_kernels.cuh:546,744).
+
+    `refine` adds one DF residual correction per diagonal block (the
+    `_trsv_small` refinement with a DF residual): x_b += inv·(rhs − T_bb·x_b)
+    evaluated in DF, lifting the inv-apply error back to substitution class
+    for 2 extra block GEMMs (~2·block/n of total flops)."""
+    n = a.shape[0]
+    vec = b.ndim == 1
+    b2 = (b.reshape(n, 1) if vec else b).astype(jnp.float32)
+    lower = uplo == "lower"
+    block = _block_for(n)
+    nb = pl.cdiv(n, block)
+    if a.dtype != jnp.float32:
+        a = a.astype(jnp.float32)
+    starts = [bi * block for bi in range(nb)]
+    sizes = [block] * (nb - 1) + [n - (nb - 1) * block]
+
+    nfull = nb if sizes[-1] == block else nb - 1
+    inv: list = [None] * nb
+    if nfull:
+        d = jnp.stack([a[s0 : s0 + block, s0 : s0 + block]
+                       for s0 in starts[:nfull]])
+        inv_full = _masked_tri_inverse(d, lower, unit)
+        for bi in range(nfull):
+            inv[bi] = inv_full[bi]
+    if nfull != nb:
+        s0 = starts[-1]
+        inv[-1] = _masked_tri_inverse(a[None, s0:, s0:], lower, unit)[0]
+
+    hi = jax.lax.Precision.HIGHEST
+    xs_hi: list = [None] * nb
+    xs_lo: list = [None] * nb
+    order = range(nb) if lower else range(nb - 1, -1, -1)
+    for bi in order:
+        s0 = starts[bi]
+        rhs = dfm.df_from(b2[s0 : s0 + sizes[bi]])
+        done = [bj for bj in (range(bi) if lower else range(bi + 1, nb))]
+        if done:
+            lo_c = starts[done[0]]
+            hi_c = starts[done[-1]] + sizes[done[-1]]
+            xcat_hi = jnp.concatenate([xs_hi[bj] for bj in done])
+            xcat_lo = jnp.concatenate([xs_lo[bj] for bj in done])
+            panel = a[s0 : s0 + sizes[bi], lo_c:hi_c]
+            th = jnp.matmul(panel, xcat_hi, precision=hi)
+            tl = jnp.matmul(panel, xcat_lo)
+            rhs = dfm.df_add(rhs, dfm.df_from(-th))
+            rhs = dfm.df_add(rhs, dfm.df_from(-tl))
+        vh = jnp.matmul(inv[bi], rhs.hi, precision=hi)
+        vl = jnp.matmul(inv[bi], rhs.lo)
+        xb = dfm.df_add(dfm.df_from(vh), dfm.df_from(vl))
+        if refine:
+            tb = tri_mask(a[s0 : s0 + sizes[bi], s0 : s0 + sizes[bi]],
+                          lower, unit)
+            rh = jnp.matmul(tb, xb.hi, precision=hi)
+            rl = jnp.matmul(tb, xb.lo)
+            r = dfm.df_sub(rhs, dfm.df_add(dfm.df_from(rh), dfm.df_from(rl)))
+            ch = jnp.matmul(inv[bi], r.hi, precision=hi)
+            cl = jnp.matmul(inv[bi], r.lo)
+            xb = dfm.df_add(xb, dfm.df_add(dfm.df_from(ch), dfm.df_from(cl)))
+        xs_hi[bi] = xb.hi
+        xs_lo[bi] = xb.lo
+    x = jnp.concatenate(xs_hi).astype(dtypes.jnp_dtype(st_out))
+    return x[:, 0] if vec else x
+
+
 def _block_for(n: int) -> int:
     """Sweep block size: 512 measured best at every probed n >= 1024 (even
     nb=2); below that shrink so padding stays bounded."""

@@ -573,3 +573,50 @@ def test_refine_gate_scope():
     got, raw = solve_both(jnp.asarray(lu, jnp.bfloat16),
                           jnp.asarray(b64, jnp.bfloat16))
     np.testing.assert_array_equal(got, raw)
+
+
+@pytest.mark.parametrize("n", [768, 832])  # aligned (3x256) and ragged (+64)
+def test_trsm_small_df64_beats_f32_blocked(n):
+    """The blocked-XLA df64 TRSM (probe_r5b candidate: DF-carried panels on
+    the `_trsv_small` schedule) must land strictly below the f32 blocked
+    route's error on both aligned and ragged n — the DF carry exists to
+    remove the f32 accumulation term, leaving only the f32-storage floor.
+    Vector form must agree with column 0 of the panel solve exactly."""
+    import jax
+
+    lu, _ = _packed_lu(n, seed=91)
+    b64 = gen_mtx(MatrixInfo(n, 16), seed=92)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    for uplo, unit in (("upper", False), ("lower", True)):
+        t64 = np.triu(lu) if uplo == "upper" else np.tril(lu)
+        if unit:
+            np.fill_diagonal(t64, 1.0)
+        ref = scipy.linalg.solve_triangular(
+            t64, b64, lower=(uplo == "lower"), unit_diagonal=unit)
+        x_df = jax.jit(lambda A, B: trsvops._trsm_small_df64(
+            A, B, uplo, unit, "f32"))(a, b)
+        x_f32 = jax.jit(lambda A, B: trsvops._trsv_small(
+            A, B, uplo, unit, "f32"))(a, b)
+
+        def rel(x):
+            return (np.abs(np.asarray(x, np.float64) - ref).sum()
+                    / np.abs(ref).sum())
+
+        assert rel(x_df) < rel(x_f32), (uplo, unit, rel(x_df), rel(x_f32))
+    # vector form rides the same schedule (k=1 GEMMs accumulate in a
+    # different XLA order than k=16, so bitwise equality is not required —
+    # the error class is)
+    t64 = np.triu(lu)
+    ref1 = scipy.linalg.solve_triangular(t64, b64[:, 0], lower=False,
+                                         unit_diagonal=False)
+    x_vec = jax.jit(lambda A, B: trsvops._trsm_small_df64(
+        A, B, "upper", False, "f32"))(a, b[:, 0])
+    x1_f32 = jax.jit(lambda A, B: trsvops._trsv_small(
+        A, B, "upper", False, "f32"))(a, b[:, 0])
+    e_vec = np.abs(np.asarray(x_vec, np.float64) - ref1).sum() / np.abs(ref1).sum()
+    e_f32 = np.abs(np.asarray(x1_f32, np.float64) - ref1).sum() / np.abs(ref1).sum()
+    assert x_vec.shape == (n,)
+    # the single-vector solve on a diagonally-dominant factor already sits
+    # AT the f32 storage floor (~1.9e-7 here), so df64 can only tie it
+    assert e_vec < 1.1 * e_f32, (e_vec, e_f32)
