@@ -137,12 +137,27 @@ def main():
             f"R blockedXLA df64+refine n={n}",
             jax.jit(lambda a, b: df_trsm_blocked(a, b, False, True, True)[0]),
             a32, b32)
+        # the LIBRARY generalization (commit 12bb7ca): concatenated-panel
+        # GEMMs instead of the per-bj loop above — this is the code that
+        # would ship, so the adoption decision reads THESE rows
+        r["L"] = time_variant(
+            f"L library _trsm_small_df64 refine n={n}",
+            jax.jit(lambda a, b: trsvops._trsm_small_df64(
+                a, b, "upper", True, "f32", refine=True)),
+            a32, b32)
+        r["L0"] = time_variant(
+            f"L0 library _trsm_small_df64 norefine n={n}",
+            jax.jit(lambda a, b: trsvops._trsm_small_df64(
+                a, b, "upper", True, "f32", refine=False)),
+            a32, b32)
         r["E"] = time_variant(
             f"E f32 fixed n={n}",
             jax.jit(lambda a, b: trsvops.trsm(a, b, "upper", True)),
             a32, b32)
         print(f"n={n}: sweep {r['S']/r['E']:.2f}x -> blocked "
-              f"{r['P']/r['E']:.2f}x (refined {r['R']/r['E']:.2f}x)", flush=True)
+              f"{r['P']/r['E']:.2f}x (refined {r['R']/r['E']:.2f}x), library "
+              f"{r['L']/r['E']:.2f}x (norefine {r['L0']/r['E']:.2f}x)",
+              flush=True)
 
     # error (upper/non-unit) at n=4096 and 8192 vs scipy fp64
     for n in (4096, 8192):
@@ -166,6 +181,12 @@ def main():
             lambda a, b: df_trsm_blocked(a, b, False, False, False)[0])
         err("R blockedXLA df64+refine",
             lambda a, b: df_trsm_blocked(a, b, False, False, True)[0])
+        err("L library _trsm_small_df64 refine",
+            lambda a, b: trsvops._trsm_small_df64(a, b, "upper", False, "f32",
+                                                  refine=True))
+        err("L0 library _trsm_small_df64 norefine",
+            lambda a, b: trsvops._trsm_small_df64(a, b, "upper", False, "f32",
+                                                  refine=False))
         err("E f32 fixed",
             lambda a, b: trsvops.trsm(a, b, "upper", False))
     print("probe_r5b done", flush=True)
