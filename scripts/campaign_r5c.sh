@@ -34,6 +34,9 @@ run() { # name timeout cmd...
 }
 
 run trsm_flops 7200 python -m accblas_tpu.bench.trsv_benchmark --sweep pow2 --size 16384 --nrhs 128
+# pow2 TRSV refresh: picks up the Acc<f32,f8e4m3> column the driver grew in
+# 76b22cc (no committed CSV carries it yet) on the endpoint CSV of record
+run trsv_flops 7200 python -m accblas_tpu.bench.trsv_benchmark --sweep pow2 --size 24576
 
 echo "=== bench_verify ($(date +%H:%M:%S))" | tee -a "$LOG"
 timeout 2400 python bench.py > /tmp/bench_verify.out 2> /tmp/bench_verify.err
