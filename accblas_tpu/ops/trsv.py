@@ -633,7 +633,9 @@ def _trsm_small_df64(a, b, uplo: str, unit: bool, st_out: str,
                      refine: bool = True):
     """Blocked-XLA df64 TRSM: the `_trsv_small` schedule with the solved
     panels and the correction carried as double-float (hi, lo) pairs in
-    plain HLO (probe_r5b, round 5).
+    plain HLO (probe_r5b, round 5 — ADOPTED as the wide-panel k >= 32
+    acc_trsm df64 route: 14.51/13.47 TF/s at 4096/16384 vs the fused
+    sweep's 13.18/10.30, same error class, bench_results/probe_r5b.log).
 
     Why this exists: probe_r5a measured the fused Mosaic sweep's df64 TRSM
     time INVARIANT to rhs grouping, block size, and MXU precision mode
@@ -653,7 +655,9 @@ def _trsm_small_df64(a, b, uplo: str, unit: bool, st_out: str,
     `refine` adds one DF residual correction per diagonal block (the
     `_trsv_small` refinement with a DF residual): x_b += inv·(rhs − T_bb·x_b)
     evaluated in DF, lifting the inv-apply error back to substitution class
-    for 2 extra block GEMMs (~2·block/n of total flops)."""
+    for 3 extra block GEMMs (the eps^2 term inv @ r.lo is dropped —
+    probe_r5d_cpu measured identical error to 4 digits at 1024-4096 on the
+    benchmark LU class)."""
     n = a.shape[0]
     vec = b.ndim == 1
     b2 = (b.reshape(n, 1) if vec else b).astype(jnp.float32)
@@ -704,9 +708,12 @@ def _trsm_small_df64(a, b, uplo: str, unit: bool, st_out: str,
             rh = jnp.matmul(tb, xb.hi, precision=hi)
             rl = jnp.matmul(tb, xb.lo)
             r = dfm.df_sub(rhs, dfm.df_add(dfm.df_from(rh), dfm.df_from(rl)))
+            # r is already O(eps)*|rhs|, so r.lo is O(eps^2) — inv @ r.lo
+            # sits below the f32-storage floor. Dropping it saves 1 of the
+            # 4 refine GEMMs (probe_r5d_cpu: errors identical to 4 digits
+            # at 1024/1664/4096 on the benchmark LU class)
             ch = jnp.matmul(inv[bi], r.hi, precision=hi)
-            cl = jnp.matmul(inv[bi], r.lo)
-            xb = dfm.df_add(xb, dfm.df_add(dfm.df_from(ch), dfm.df_from(cl)))
+            xb = dfm.df_add(xb, dfm.df_from(ch))
         xs_hi[bi] = xb.hi
         xs_lo[bi] = xb.lo
     x = jnp.concatenate(xs_hi).astype(dtypes.jnp_dtype(st_out))
@@ -809,6 +816,18 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
     if _use_small(n, interpret, resident, ar, k=k,
                   st=dtypes.canon(a.dtype)):
         return _trsv_small(a, b, uplo, unit, st_out)
+    # round-5 reroute (probe_r5b on v5e, bench_results/probe_r5b.log): wide
+    # df64 panels (k >= 32) ride the blocked-XLA schedule with DF-carried
+    # panels (_trsm_small_df64). The fused Mosaic sweep is uniformly
+    # schedule-bound for TRSM (probe_r5a: 10.3 TF/s at n=16384 k=128,
+    # invariant to rhs grouping, block size, and MXU precision mode) while
+    # this route runs 13.5/14.5 TF/s at 16384/4096 with same-class error
+    # (refined 5.6e-6 vs sweep 6.6e-6 at 4096, 1.65e-5 vs 1.40e-5 at 8192 —
+    # both ~2x under the f32 tier's 1.64e-5/3.19e-5). k < 32 stays on the
+    # one-pass sweep (342.9 GF/s = 0.95x fixed at 24576 — the storage-speed
+    # path). Explicit interpret or resident=False still reach the sweep.
+    if ar == "df64" and k >= 32 and interpret is None and resident is not False:
+        return _trsm_small_df64(a, b, uplo, unit, st_out)
     if interpret is None:
         interpret = interpret_default()
     # Mosaic has no f16 type: upcast f16 storage to f32 before the kernel on
@@ -951,9 +970,14 @@ def trsm(a, b, uplo: str = "upper", unit: bool = True, *, interpret=None,
 def acc_trsm(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
              interpret=None, resident=None, unstable_ok: bool = False):
     """Accessor mixed-precision TRSM: storage from the arrays (bf16/f32),
-    f32 arithmetic via cast-on-load; ar='df64' runs the one-pass sweep with
-    double-float carried panels (see acc_trsv) — every right-hand side
-    refines in the same single pass over the triangle."""
+    f32 arithmetic via cast-on-load; ar='df64' carries the solved panels as
+    double-float pairs — wide panels (k >= 32) on the blocked-XLA schedule
+    (_trsm_small_df64, adopted round 5 on probe_r5b hardware numbers:
+    1.1-1.3x the fused sweep at 4096-16384 with same-class error), narrow
+    ones on the one-pass Pallas sweep (see acc_trsv) where every right-hand
+    side refines in the same single pass over the triangle. resident=True is
+    rejected (no XLA-composed resident df64 mode); resident=False forces the
+    sweep for every k."""
     ar = dtypes.check_arithmetic(ar)
     st_out = dtypes.canon(b.dtype)
     _check_bf16_envelope(a, a.shape[0], ar, unstable_ok, "acc_trsm")
@@ -968,7 +992,7 @@ def acc_trsm(a, b, uplo: str = "upper", unit: bool = True, ar: str = "f32", *,
             "is no XLA-composed resident df64 mode (resident=True unsupported)"
         )
     return _trsm_impl(a, b, uplo, unit, interpret, st_out=st_out,
-                      resident=False, ar="df64")
+                      resident=resident, ar="df64")
 
 
 def xla_trsv(a, b, uplo: str = "upper", unit: bool = True):

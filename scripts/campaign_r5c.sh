@@ -33,6 +33,10 @@ run() { # name timeout cmd...
   return $rc
 }
 
+# ceiling decomposition for the adopted df64 TRSM route (VERDICT #2):
+# feedforward GEMM SOL (G1/G2) + shipped/norefine split at 4096/16384
+run probe_r5d 3600 python scripts/probe_r5d.py
+
 run trsm_flops 7200 python -m accblas_tpu.bench.trsv_benchmark --sweep pow2 --size 16384 --nrhs 128
 # pow2 TRSV refresh: picks up the Acc<f32,f8e4m3> column the driver grew in
 # 76b22cc (no committed CSV carries it yet) on the endpoint CSV of record

@@ -575,6 +575,36 @@ def test_refine_gate_scope():
     np.testing.assert_array_equal(got, raw)
 
 
+def test_acc_trsm_df64_wide_routing_gate():
+    """Round-5 routing (probe_r5b): acc_trsm df64 with k >= 32 rides the
+    blocked-XLA _trsm_small_df64 route; an explicit resident=False must
+    still force the fused Pallas sweep (the probe escape hatch the advisor
+    asked round 2 to preserve)."""
+    import jax
+
+    n, k = 768, 32
+    lu, _ = _packed_lu(n, seed=59)
+    b64 = gen_mtx(MatrixInfo(k, n), seed=61).T
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    routed = jax.jit(lambda A, B: trsvops.acc_trsm(
+        A, B, uplo="upper", unit=False, ar="df64"))(a, b)
+    direct = jax.jit(lambda A, B: trsvops._trsm_small_df64(
+        A, B, "upper", False, "f32"))(a, b)
+    np.testing.assert_array_equal(np.asarray(routed), np.asarray(direct))
+    swept = jax.jit(lambda A, B: trsvops.acc_trsm(
+        A, B, uplo="upper", unit=False, ar="df64", resident=False))(a, b)
+    assert not np.array_equal(np.asarray(swept), np.asarray(routed))
+    # both land in the df64 error class against the fp64 oracle
+    ref = _ref_solve_multi(lu, b64, "upper", False)
+
+    def rel(x):
+        return (np.linalg.norm(np.asarray(x, np.float64) - ref)
+                / np.linalg.norm(ref))
+
+    assert rel(routed) < 5e-6 and rel(swept) < 5e-6
+
+
 @pytest.mark.parametrize("n", [768, 832])  # aligned (3x256) and ragged (+64)
 def test_trsm_small_df64_beats_f32_blocked(n):
     """The blocked-XLA df64 TRSM (probe_r5b candidate: DF-carried panels on
