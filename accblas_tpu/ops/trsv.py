@@ -514,7 +514,7 @@ _PROBE_DISABLE_REFINE = False
 _PROBE_SETUP_DF64_INV = False
 
 
-def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
+def _trsv_small(a, b, uplo: str, unit: bool, st_out: str, block=None):
     """XLA-composed small-n TRSV/TRSM for the compiler-resident regime.
 
     Same blocked-substitution structure as the Pallas sweep, but the diagonal
@@ -532,7 +532,8 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
     b2 = (b.reshape(n, 1) if vec else b).astype(jnp.float32)
     lower = uplo == "lower"
     f32_storage = a.dtype == jnp.float32  # before any upfront cast below
-    block = _block_for(n)
+    if block is None:
+        block = _block_for(n)
     nb = pl.cdiv(n, block)
     # Narrow-storage (bf16/f16) cast policy is k-dependent (probe_r3h/r3i):
     #   k < 32 (bandwidth-bound): cast PER SLICE below — XLA fuses the
@@ -630,7 +631,7 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str):
 
 
 def _trsm_small_df64(a, b, uplo: str, unit: bool, st_out: str,
-                     refine: bool = True):
+                     refine: bool = True, block=None):
     """Blocked-XLA df64 TRSM: the `_trsv_small` schedule with the solved
     panels and the correction carried as double-float (hi, lo) pairs in
     plain HLO (probe_r5b, round 5 — ADOPTED as the wide-panel k >= 32
@@ -662,7 +663,8 @@ def _trsm_small_df64(a, b, uplo: str, unit: bool, st_out: str,
     vec = b.ndim == 1
     b2 = (b.reshape(n, 1) if vec else b).astype(jnp.float32)
     lower = uplo == "lower"
-    block = _block_for(n)
+    if block is None:
+        block = _block_for(n)
     nb = pl.cdiv(n, block)
     if a.dtype != jnp.float32:
         a = a.astype(jnp.float32)

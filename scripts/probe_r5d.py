@@ -136,6 +136,20 @@ def main():
             jax.jit(lambda a, b: trsvops._trsm_small_df64(
                 a, b, "upper", True, "f32", refine=False)),
             a32, b32, n)
+        if n >= 8192:
+            # block retune candidates for the wide-panel blocked routes:
+            # fewer, bigger GEMMs per step (the 512 default was tuned on
+            # the SWEEP schedule, probe_r3b — never on this one)
+            t["E1024"] = time_variant(
+                f"E1024 f32 blocked block=1024 n={n}",
+                jax.jit(lambda a, b: trsvops._trsv_small(
+                    a, b, "upper", True, "f32", block=1024)),
+                a32, b32, n)
+            t["L1024"] = time_variant(
+                f"L1024 df64 refine block=1024 n={n}",
+                jax.jit(lambda a, b: trsvops._trsm_small_df64(
+                    a, b, "upper", True, "f32", block=1024)),
+                a32, b32, n)
         t["G1"] = time_variant(
             f"G1 feedforward f32 GEMMs n={n}",
             jax.jit(lambda a, b: feedforward(a, b, False)),
@@ -150,6 +164,33 @@ def main():
             f"{t['G2']/t['G1']:.2f}x | L0 within {t['L0']/t['G2']:.2f}x of "
             f"G2 ceiling | E within {t['E']/t['G1']:.2f}x of G1",
             flush=True)
+    # error: does block=1024 hold the error class? (bigger diagonal blocks
+    # = worse inverse conditioning; df64 has refine to absorb it, the f32
+    # wide route has none)
+    import scipy.linalg
+
+    n = 8192
+    t64 = np.triu(np.array(lu64[:n, :n]))
+    ref = scipy.linalg.solve_triangular(t64, b64[:n], lower=False,
+                                        unit_diagonal=False)
+    a32 = jax.device_put(np.array(lu64[:n, :n], np.float32))
+    b32 = jax.device_put(b64[:n].astype(np.float32))
+    print(f"=== n={n} error (upper/non-unit vs scipy fp64)", flush=True)
+
+    def err(label, fn):
+        x = np.asarray(jax.block_until_ready(jax.jit(fn)(a32, b32)),
+                       np.float64)
+        e = np.abs(x - ref).sum() / np.abs(ref).sum()
+        print(f"{label}: err {e:.4e}", flush=True)
+
+    err("E f32 block=512", lambda a, b: trsvops._trsv_small(
+        a, b, "upper", False, "f32"))
+    err("E1024 f32 block=1024", lambda a, b: trsvops._trsv_small(
+        a, b, "upper", False, "f32", block=1024))
+    err("L df64 refine block=512", lambda a, b: trsvops._trsm_small_df64(
+        a, b, "upper", False, "f32"))
+    err("L1024 df64 refine block=1024", lambda a, b: trsvops._trsm_small_df64(
+        a, b, "upper", False, "f32", block=1024))
     print("probe_r5d done", flush=True)
 
 
