@@ -650,3 +650,34 @@ def test_trsm_small_df64_beats_f32_blocked(n):
     # the single-vector solve on a diagonally-dominant factor already sits
     # AT the f32 storage floor (~1.9e-7 here), so df64 can only tie it
     assert e_vec < 1.1 * e_f32, (e_vec, e_f32)
+
+
+@pytest.mark.parametrize("n", [1664, 2048])
+def test_blocked_routes_block_override(n):
+    """The probe-tunable `block=` parameter (round 5, probe_r5d) must not
+    change the error class: block=1024 (vs _block_for's 512 default) lands
+    in the same class as the default for BOTH the f32 blocked route
+    (refined) and the DF-carried TRSM route. n=1664 exercises a ragged
+    last block (1024 + 640) at the override size."""
+    import jax
+
+    lu, b64 = _packed_lu(n)
+    a = jnp.asarray(lu, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    ref = _ref_solve(lu, b64, "upper", False)
+    d = jax.jit(lambda A, B: trsvops._trsv_small(A, B, "upper", False, "f32"))(a, b)
+    o = jax.jit(lambda A, B: trsvops._trsv_small(
+        A, B, "upper", False, "f32", block=1024))(a, b)
+    # same error class: the override may not blow past the default route
+    # (refinement holds the diag-inverse error at substitution class for
+    # any block size; CPU probe_r5d model: 1024 keeps refined f32 at the
+    # default's error while unrefined drifts 2.8e-5 -> 3.7e-5)
+    assert _rel(o, ref) < 4 * max(_rel(d, ref), 1e-7), (_rel(o, ref), _rel(d, ref))
+
+    B64 = np.stack([b64 * s for s in (1.0, -1.0, 0.5, 2.0)] * 8, 1)  # (n, 32)
+    Bref = _ref_solve(lu, B64, "upper", False)
+    B = jnp.asarray(B64, jnp.float32)
+    dm = jax.jit(lambda A, X: trsvops._trsm_small_df64(A, X, "upper", False, "f32"))(a, B)
+    om = jax.jit(lambda A, X: trsvops._trsm_small_df64(
+        A, X, "upper", False, "f32", block=1024))(a, B)
+    assert _rel(om, Bref) < 4 * max(_rel(dm, Bref), 1e-7), (_rel(om, Bref), _rel(dm, Bref))
