@@ -104,7 +104,12 @@ def tf_s(n: int, ms: float) -> float:
 
 def time_variant(label, fn, a, b, n):
     def body(c, a_, b_):
-        return fn(a_, jnp.clip(c, -1.0, 1.0).astype(b_.dtype))
+        r = fn(a_, jnp.clip(c, -1.0, 1.0).astype(b_.dtype))
+        if r.shape == c.shape:
+            return r
+        # feedforward variants return one (block, k) accumulator — fold a
+        # result element back into the carried operand to keep the chain
+        return c.at[0, 0].add(r[0, 0].astype(c.dtype) * 1e-30)
 
     ms = benchmark_loop(body, b, args=(a, b))
     print(f"{label}: {ms:.3f} ms = {tf_s(n, ms):.2f} TF/s", flush=True)
