@@ -23,6 +23,7 @@ python -m accblas_tpu.bench.trsv_benchmark --sweep pow2 --size 16384 --nrhs 128 
 python -m accblas_tpu.bench.dot_benchmark  --error --sweep pow2 --size $((2**29)) > $R/dot_error.csv  2> $R/dot_error.log
 python -m accblas_tpu.bench.gemv_benchmark --error --sweep pow2 --size 24576      > $R/gemv_error.csv 2> $R/gemv_error.log
 python -m accblas_tpu.bench.trsv_benchmark --error --sweep pow2 --size 24576 --no-unit > $R/trsv_error.csv 2> $R/trsv_error.log
+python -m accblas_tpu.bench.trsv_benchmark --error --sweep pow2 --size 16384 --nrhs 128 --no-unit > $R/trsm_error.csv 2> $R/trsm_error.log
 
 # --- arbitrary (non-aligned) sizes: the reference's grids are arbitrary ---
 python -m accblas_tpu.bench.dot_benchmark  --sweep dense --no-align --size 9000000 > $R/dot_flops_ragged.csv 2>> $R/dot_flops.log
@@ -39,6 +40,7 @@ python -m accblas_tpu.bench.plot $R/trsm_flops.csv --kind flops --out plots/v5e_
 python -m accblas_tpu.bench.plot $R/dot_error.csv  --kind error --out plots/v5e_dot_error_median_u-1,1.svg --title "DOT median relative error, u(-1,1)"
 python -m accblas_tpu.bench.plot $R/gemv_error.csv --kind error --out plots/v5e_gemv_error_u-1,1.svg --title "GEMV relative error, u(-1,1)"
 python -m accblas_tpu.bench.plot $R/trsv_error.csv --kind error --out plots/v5e_trsv_error_u-1,1.svg --title "TRSV relative error (non-unit), u(-1,1)"
+python -m accblas_tpu.bench.plot $R/trsm_error.csv --kind error --out plots/v5e_trsm_error_u-1,1.svg --title "TRSM relative error (non-unit, 128 rhs), u(-1,1)"
 
 # --- headline ---
 python bench.py > $R/headline.json
