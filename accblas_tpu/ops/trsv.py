@@ -89,6 +89,16 @@ LEAF_VEC = 256
 # bench_results/trsv_error.csv) — the tier is throughput-only there
 BF16_STABLE_N = 1024
 
+# TRSM rhs-chunking gate (round 5): at n >= _TRSM_CHUNK_N, panels wider
+# than _TRSM_CHUNK_K are solved in _TRSM_CHUNK_K-column chunks — the
+# unrolled blocked schedule at (nb=32 steps) x (k=512) exhausts XLA:TPU
+# compile resources for every tier (bench_results/trsm_rhs512.log), while
+# k=128 at the same n is the measured headline configuration. Columns are
+# independent, so chunking is exact. Module-level so tests/probes can
+# exercise the chunk path at small shapes.
+_TRSM_CHUNK_N = 16384
+_TRSM_CHUNK_K = 128
+
 
 def _extract_leaf_diag(a, nb: int, block: int, leaf: int, interpret):
     """Extract the leaf-diagonal blocks as (nb·B/leaf, leaf, leaf).
@@ -794,6 +804,26 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
     k = b.shape[1]
     if a.shape != (n, n) or b.shape[0] != n:
         raise ValueError(f"trsm needs square A and (n, k) B, got {a.shape}, {b.shape}")
+    # Very wide panels at large n blow up XLA:TPU compile resources: at
+    # n=16384, k=512 the blocked tiers die with RESOURCE_EXHAUSTED and a
+    # standalone compile runs >15 min — the nb=32-step unrolled schedule
+    # times k=512 is past the compiler's envelope, while the same shapes
+    # at k=128 compile in seconds and run at 24.8 TF/s (trsm_flops.csv).
+    # X's columns are independent, so chunk the rhs into the
+    # measured-proven width and concatenate; n=8192 at k=512 is measured
+    # working (and faster than its 128-rhs rate: 27.3 vs 22.5 TF/s), so
+    # the gate starts at 16384. Revalidated on hardware (campaign_r5h,
+    # trsm_rhs512.csv): every tier completes chunked, fp32 19.5 TF/s vs
+    # the vendor TriangularSolve's 15.1 (which compiles un-chunked — its
+    # failure in the first capture was collateral HBM pressure from the
+    # preceding failed entries in the same process).
+    if k > _TRSM_CHUNK_K and n >= _TRSM_CHUNK_N:
+        cols = [
+            _trsm_impl(a, b[:, g : g + _TRSM_CHUNK_K], uplo, unit, interpret,
+                       st_out, resident=resident, ar=ar)
+            for g in range(0, k, _TRSM_CHUNK_K)
+        ]
+        return jnp.concatenate(cols, axis=1)
     lower = uplo == "lower"
     # Wide panels at VMEM-resident n: XLA's native TriangularSolve beats
     # the blocked-inverse substitution there (trsm_flops probe: 11.8 vs

@@ -287,6 +287,37 @@ def test_trsm_wide_rhs_group_split():
     assert rel < 1e-4
 
 
+@pytest.mark.parametrize("ar", ["f32", "df64"])
+def test_trsm_rhs_chunk_gate_exact(ar):
+    # the round-5 compile-envelope guard: at n >= _TRSM_CHUNK_N panels wider
+    # than _TRSM_CHUNK_K solve in chunked column groups (trsm_rhs512.log:
+    # n=16384 k=512 RESOURCE_EXHAUSTs every tier un-chunked). Columns are
+    # independent, so the chunked result must match the un-chunked one
+    # column-for-column — pinned here at small shapes by lowering the gate,
+    # including a ragged last chunk (k=20 -> 8+8+4).
+    import accblas_tpu.ops.trsv as tv
+
+    n, k = 256, 20
+    lu, _ = _packed_lu(n, seed=59)
+    a = jnp.asarray(lu, jnp.float32)
+    B = jnp.asarray(gen_mtx(MatrixInfo(k, n), seed=61).T, jnp.float32)
+    plain = tv.acc_trsm(a, B, uplo="upper", unit=False, ar=ar)
+    old_n, old_k = tv._TRSM_CHUNK_N, tv._TRSM_CHUNK_K
+    tv._TRSM_CHUNK_N, tv._TRSM_CHUNK_K = n, 8
+    try:
+        chunked = tv.acc_trsm(a, B, uplo="upper", unit=False, ar=ar)
+    finally:
+        tv._TRSM_CHUNK_N, tv._TRSM_CHUNK_K = old_n, old_k
+    assert chunked.shape == plain.shape
+    np.testing.assert_allclose(
+        np.asarray(chunked, np.float64), np.asarray(plain, np.float64),
+        rtol=0, atol=1e-6,
+    )
+    ref = _ref_solve_multi(lu, np.asarray(B, np.float64), "upper", False)
+    rel = np.linalg.norm(np.asarray(chunked, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4
+
+
 def test_xla_trsm_baseline():
     n, k = 256, 4
     lu, _ = _packed_lu(n, seed=47)
