@@ -84,6 +84,11 @@ def main():
         p.add_argument("--nrhs", type=int, default=0,
                        help="benchmark TRSM with this many right-hand sides "
                        "(0 = TRSV)")
+        p.add_argument("--only", default=None,
+                       help="flops mode: capture only columns whose name "
+                       "contains this substring (targeted recaptures after "
+                       "a routing change; redirect to a dedicated CSV — the "
+                       "schema shrinks to the matching columns)")
 
     args = common.parse_args("trsv_benchmark", DEFAULT_SIZE, MIN_SIZE, extra=extra)
     uplo, unit, nrhs = args.uplo, args.unit, args.nrhs
@@ -132,9 +137,9 @@ def main():
     # storage-truncation error reaches O(1) on LU-factor triangles even
     # below the bf16 envelope (the bf16 column already demonstrates the
     # narrow-storage blow-up class in trsv_error.csv — 0.95 at 24576), so
-    # an f8 error row would only restate it louder. Single-rhs large-n f8
-    # rides the Pallas sweep (Mosaic loads fp8 tiles natively; see
-    # ops/trsv.py _use_small).
+    # an f8 error row would only restate it louder. Single-rhs f8 rides
+    # the blocked-XLA schedule since round 5 (probe_r5k: 973 GF/s at
+    # 24576 vs the Pallas sweep's 121; see ops/trsv.py _use_small).
     run_acc_f8 = jax.jit(
         lambda a, b: acc_solve(a, b, uplo, unit, ar="f32", unstable_ok=True)
     )
@@ -160,10 +165,19 @@ def main():
         f"XLA {op} fp32",
     ]
     if args.error:
+        if args.only:
+            raise SystemExit("--only is flops-mode only")
         names = [nm for nm in names
                  if not (nm.endswith(" cold") or "f8e4m3" in nm)]
         if not nrhs:
             names.append(f"{op} df64 oracle (device)")
+    only_sel = None
+    if args.only:
+        only_sel = [i for i, nm in enumerate(names)
+                    if args.only.lower() in nm.lower()]
+        if not only_sel:
+            raise SystemExit(f"--only {args.only!r} matches no column")
+        names = [names[i] for i in only_sel]
     common.emit_header("n", names)
 
     if args.error and not nrhs:
@@ -198,6 +212,8 @@ def main():
         ]
         if args.error:
             entries = [e for e in entries if not (e[2] or e[3])]
+        if only_sel is not None:
+            entries = [entries[i] for i in only_sel]
 
         if args.error:
             t = np.triu(lu64[:n, :n]) if uplo == "upper" else np.tril(lu64[:n, :n])

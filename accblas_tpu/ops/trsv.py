@@ -756,10 +756,15 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
     storage at VMEM-scale n, and wide multi-rhs panels (probe_r3g: at
     k=128 the XLA-composed schedule runs 24.9 vs 16.5 TF/s f32 and 44.5
     vs 17.9 bf16 at n=16384 — k=16 measured a tie, so the gate sits at
-    32). f8 single-rhs solves at n > RESIDENT_N stay on the Pallas sweep
-    (XLA has no fast 8-bit slice+convert feed; the Mosaic kernel loads fp8
-    tiles natively) — but f8 wide panels and VMEM-scale solves route here
-    too, behind an upfront f32 materialization like bf16/f16."""
+    32). f8 single-rhs solves route here too since round 5 (probe_r5k on
+    v5e at 24576: blocked per-slice f32-cast feed 973 GF/s vs the Pallas
+    sweep's 121 — the sweep is latency-class for single-rhs and fp8's byte
+    saving never reached its chain; the round-3 "no fast XLA 8-bit
+    slice+convert feed" claim no longer holds, and the f8 GEMM-emitter
+    embed (ops/gemv.py:129-136) measured only ~4% above the plain cast
+    feed, so the shared _trsv_small body stays unchanged). f8 wide panels
+    and VMEM-scale solves were already here, behind an upfront f32
+    materialization like bf16/f16."""
     if ar != "f32":
         return False
     if resident is True:
@@ -783,7 +788,7 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
     if (k == 1 and st == "f32" and n >= 8 * BLOCK_VEC and n % BLOCK_VEC == 0):
         return False
     return (n <= RESIDENT_N
-            or (k == 1 and st in ("f32", "bf16", "f16"))
+            or (k == 1 and st in ("f32", "bf16", "f16", "f8e4m3", "f8e5m2"))
             or k >= 32)
 
 
@@ -843,8 +848,8 @@ def _trsm_impl(a, b, uplo: str, unit: bool, interpret, st_out: str, resident=Non
             )
         return x.astype(dtypes.jnp_dtype(st_out))
     # XLA-composed blocked substitution (f32 arithmetic only): all
-    # f32/bf16/f16 single-rhs solves, any storage at small n, wide panels
-    # (see _use_small)
+    # single-rhs solves (f8 included since round 5, probe_r5k), any
+    # storage at small n, wide panels (see _use_small)
     if _use_small(n, interpret, resident, ar, k=k,
                   st=dtypes.canon(a.dtype)):
         return _trsv_small(a, b, uplo, unit, st_out)

@@ -354,9 +354,15 @@ def test_trsv_small_narrow_storage_tiers():
     lu, b64 = _packed_lu(n)
     ref = _ref_solve(lu, b64, "upper", False)
     b = jnp.asarray(b64, jnp.float32)
-    floors = {jnp.bfloat16: 5e-3, jnp.float16: 6e-4, jnp.float32: 5e-7}
+    # f8 single-rhs routes here too since round 5 (probe_r5k: 973 vs the
+    # sweep's 121 GF/s at 24576); measured CPU floors at this seed are
+    # 6.0e-3 (e4m3) / 9.4e-2 (e5m2) — tols carry ~3x margin. The values
+    # are clipped to the e4m3 max first (no inf in e4m3fn: raw astype of
+    # an overflowing entry makes nan).
+    floors = {jnp.bfloat16: 5e-3, jnp.float16: 6e-4, jnp.float32: 5e-7,
+              jnp.float8_e4m3fn: 2e-2, jnp.float8_e5m2: 3e-1}
     for dt, tol in floors.items():
-        a = jnp.asarray(lu, dt)
+        a = jnp.asarray(np.clip(lu, -448, 448), dt)
         got = trsvops._trsv_small(a, b, "upper", False, "f32")
         assert _rel(got, ref) < tol, dt
         # k=64 hits the upfront-cast panel branch; column 0 must match the
@@ -371,18 +377,18 @@ def test_trsv_small_narrow_storage_tiers():
 
 
 def test_use_small_routing_gate(monkeypatch):
-    """Auto-routing (TPU backend): every f32/bf16/f16 single-rhs solve and
-    every k>=32 panel ride the blocked-XLA schedule; f8 stays on the Pallas
-    sweep (native fp8 tiles, no fast XLA 8-bit slice+convert); explicit
-    resident=False / interpret=True always reach the sweep."""
+    """Auto-routing (TPU backend): every single-rhs solve (f8 included
+    since round 5 — probe_r5k measured the blocked route at 973 vs the
+    sweep's 121 GF/s at 24576) and every k>=32 panel ride the blocked-XLA
+    schedule; explicit resident=False / interpret=True always reach the
+    sweep."""
     import accblas_tpu.ops.trsv as tv
 
     monkeypatch.setattr(tv.jax, "default_backend", lambda: "tpu")
     big = tv.RESIDENT_N + 1
-    # single-rhs autoroutes for every XLA-fast storage dtype
-    for st in ("f32", "bf16", "f16"):
+    # single-rhs autoroutes for every storage dtype
+    for st in ("f32", "bf16", "f16", "f8e4m3", "f8e5m2"):
         assert tv._use_small(big, None, None, "f32", k=1, st=st)
-    assert not tv._use_small(big, None, None, "f32", k=1, st="f8e4m3")
     # round-4 reroute: aligned large-n f32 single-rhs rides the Pallas
     # sweep (probe_r4g_hw: 362.6 vs 340.7 GF/s at 24576); ragged n, narrow
     # storage, and sub-8192 sizes stay on the blocked schedule
