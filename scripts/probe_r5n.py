@@ -28,8 +28,8 @@ Run AFTER campaign_r5l / probe_r5m (single TPU process rule).
 
 import os
 import sys
+import time
 
-import ml_dtypes
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
@@ -60,11 +60,23 @@ def gf_s(n: int, ms: float) -> float:
 
 
 def time_one(label, n, fn, a, b):
-    def body(c, a_, b_):
-        return fn(a_, jnp.clip(c, -1.0, 1.0).astype(b_.dtype))
+    # eager per-size views OUTSIDE the timed jit, exactly like the driver
+    # (trsv_benchmark.py:195-199). The operands MUST be on-device-derived
+    # casts of the f32 upload: both earlier r5n attempts device_put
+    # host-quantized f8/bf16 images and stalled 20-33 min at 0% CPU on the
+    # first eager f8 slice (the staged repro, probe_r5n_repro.py, isolated
+    # the pathology to eager ops on host-uploaded f8 — the same blocked
+    # program compiles in 3 s and solves in ms once the operand is an
+    # on-device astype of the f32 image, which is the driver's pattern).
+    an = a[:n, :n]
+    bn = b[:n]
 
-    ms = benchmark_loop(body, b, args=(a, b))
-    print(f"{label}: {ms:.3f} ms = {gf_s(n, ms):.1f} GF/s", flush=True)
+    def body(c, a_):
+        return fn(a_, jnp.clip(c, -1.0, 1.0))
+
+    ms = benchmark_loop(body, bn, args=(an,))
+    print(f"[{time.strftime('%H:%M:%S')}] {label}: {ms:.3f} ms = "
+          f"{gf_s(n, ms):.1f} GF/s", flush=True)
     return ms
 
 
@@ -72,19 +84,22 @@ def main():
     lu64 = lu_master(NMAX)
     b64 = np.asarray(gen_mtx(MatrixInfo(1, NMAX), seed=43), np.float64)[0]
 
-    a8 = jax.device_put(jnp.asarray(np.clip(
-        lu64.astype(np.float32), -448.0, 448.0
-    ).astype(ml_dtypes.float8_e4m3fn)))
-    ab = jax.device_put(jnp.asarray(lu64.astype(ml_dtypes.bfloat16)))
-    ah = jax.device_put(jnp.asarray(lu64.astype(np.float16)))
+    # upload ONLY the f32 image; derive every storage tier on device
+    # (trsv_benchmark.py:110-114) — see the stall note in time_one
     a32 = jax.device_put(jnp.asarray(lu64, jnp.float32))
     b32 = jax.device_put(jnp.asarray(b64, jnp.float32))
-    jax.block_until_ready((a8, ab, ah, a32, b32))
-    print("operands resident", flush=True)
+    jax.block_until_ready((a32, b32))
+    ab = a32.astype(jnp.bfloat16)
+    ah = a32.astype(jnp.float16)
+    a8 = a32.astype(jnp.float8_e4m3fn)
+    # sync through an f32 D2H read (f8 scalar reads are themselves the
+    # pathological path; never ravel/read the 8-bit arrays)
+    np.asarray(jnp.ravel(b32)[:1])
+    print(f"[{time.strftime('%H:%M:%S')}] operands resident", flush=True)
 
     def small(n, block):
         return jax.jit(lambda a, b: trsvops._trsv_small(
-            a[:n, :n], b[:n], "upper", True, "f32", block=block))
+            a, b, "upper", True, "f32", block=block))
 
     grids = [
         ("f8", a8, [(4096, (512, 1024)), (8192, (512, 1024)),
