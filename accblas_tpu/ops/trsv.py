@@ -509,6 +509,30 @@ _TRSM_SCR_BYTES = 6 * 2**20
 RESIDENT_N = 2048
 
 
+# round-5 narrow-storage block retune (probe_r5m + probe_r5n on v5e): in the
+# per-slice convert-feed regime (k < 32, n > RESIDENT_N) every narrow tier
+# streams BLOCK_VEC=1024 blocks faster than BLOCK=512 at every probed
+# n >= 4096 — f8 862/996/1101/1128 vs 606/737/884/969 GF/s and bf16
+# 746/743/745/744 vs 554/625/675/692 at 4096/8192/16384/24576 (f16 rides the
+# bf16 curve; 745 IS the bf16 GEMV stream tier, so 512 was leaving pure
+# bandwidth on the table, and 1536/2048 lose it again: 851/805 f8 at 24576).
+# f32 storage keeps _block_for's 512: aligned n >= 8192 rides the Pallas
+# sweep anyway, the blocked route's error captures (trsv_error.csv) are
+# 512-vintage, and ragged f32 measured only +1.5% at 1024 (probe_r5n) — not
+# worth invalidating them. f8 arithmetic error moves within the blocked
+# inv-apply class: 5.9e-5 at 1024 vs 4.7e-5 at 512 (probe_r5m, against the
+# f64 solve of the quantized operand; 2048 degrades to 1.5e-4 AND loses
+# speed, so the wide end is doubly rejected).
+_NARROW_BLOCK_N = 4096
+
+
+def _small_block_for(n: int, k: int, f32_storage: bool) -> int:
+    """Block size for the XLA-composed blocked route (see _NARROW_BLOCK_N)."""
+    if not f32_storage and k < 32 and n >= _NARROW_BLOCK_N:
+        return BLOCK_VEC
+    return _block_for(n)
+
+
 # probe-only escape hatch (scripts/probe_r4d.py): suppress the diagonal-
 # block refinement to measure its cost on hardware. Never set in library use.
 _PROBE_DISABLE_REFINE = False
@@ -543,7 +567,7 @@ def _trsv_small(a, b, uplo: str, unit: bool, st_out: str, block=None):
     lower = uplo == "lower"
     f32_storage = a.dtype == jnp.float32  # before any upfront cast below
     if block is None:
-        block = _block_for(n)
+        block = _small_block_for(n, b2.shape[1], f32_storage)
     nb = pl.cdiv(n, block)
     # Narrow-storage (bf16/f16) cast policy is k-dependent (probe_r3h/r3i):
     #   k < 32 (bandwidth-bound): cast PER SLICE below — XLA fuses the

@@ -526,6 +526,46 @@ def test_leaf_vec_gate_sweep():
         tv.BLOCK_VEC, tv.LEAF, tv.LEAF_VEC = old
 
 
+def test_narrow_block_retune_gate():
+    """Round-5 blocked-route block retune (probe_r5m/r5n on v5e): narrow
+    storage in the per-slice convert-feed regime (k < 32) takes
+    BLOCK_VEC=1024 blocks from n >= _NARROW_BLOCK_N=4096 (f8 969 -> 1128,
+    bf16 692 -> 744 GF/s at 24576; wins at every probed n >= 4096). f32,
+    wide panels (k >= 32, upfront-cast TRSM), and smaller n keep
+    _block_for. Gate values pinned here; numerics exercised below with
+    shrunk constants so the BLOCK_VEC branch runs on CPU."""
+    import accblas_tpu.ops.trsv as tv
+
+    assert tv._small_block_for(24576, 1, False) == tv.BLOCK_VEC
+    assert tv._small_block_for(4096, 1, False) == tv.BLOCK_VEC
+    assert tv._small_block_for(4096, 31, False) == tv.BLOCK_VEC
+    # f32 keeps the 512 schedule (error captures are 512-vintage)
+    assert tv._small_block_for(24576, 1, True) == tv.BLOCK
+    # wide panels are upfront-cast TRSM: BLOCK halves the rhs-group budget
+    assert tv._small_block_for(24576, 32, False) == tv.BLOCK
+    assert tv._small_block_for(24576, 128, False) == tv.BLOCK
+    # below the probed crossover: unchanged
+    assert tv._small_block_for(4095, 1, False) == tv.BLOCK
+    assert tv._small_block_for(2048, 1, False) == tv.BLOCK
+    assert tv._small_block_for(700, 1, False) == 256
+
+    # numerics through the wide-block branch: shrink the gate so an
+    # n=1024 bf16 solve (and a ragged n=1000 one) picks block=BLOCK_VEC=256
+    n = 1024
+    lu, b64 = _packed_lu(n, seed=62)
+    old = tv.BLOCK_VEC, tv._NARROW_BLOCK_N
+    tv.BLOCK_VEC, tv._NARROW_BLOCK_N = 256, 512
+    try:
+        for nn in (n, 1000):
+            ref = _ref_solve(lu[:nn, :nn], b64[:nn], "upper", False)
+            a = jnp.asarray(lu[:nn, :nn], jnp.bfloat16)
+            b = jnp.asarray(b64[:nn], jnp.float32)
+            got = tv._trsv_small(a, b, "upper", False, "f32")
+            assert _rel(got, ref) < 1e-2, nn  # bf16 storage floor class
+    finally:
+        tv.BLOCK_VEC, tv._NARROW_BLOCK_N = old
+
+
 @pytest.mark.parametrize("uplo", ["upper", "lower"])
 @pytest.mark.parametrize("unit", [True, False])
 def test_df_tri_inverse_correctly_rounded(uplo, unit):
