@@ -516,6 +516,10 @@ RESIDENT_N = 2048
 # 746/743/745/744 vs 554/625/675/692 at 4096/8192/16384/24576 (f16 rides the
 # bf16 curve; 745 IS the bf16 GEMV stream tier, so 512 was leaving pure
 # bandwidth on the table, and 1536/2048 lose it again: 851/805 f8 at 24576).
+# probe_r5p then pinned the crossover: 1024 wins at EVERY size down to the
+# first per-slice size (bf16 649 vs 450 and f8 685 vs 475 at n=2176, the
+# margin widening through 2560/3072/3584), so the gate is the per-slice
+# regime boundary itself, n > RESIDENT_N.
 # f32 storage keeps _block_for's 512: aligned n >= 8192 rides the Pallas
 # sweep anyway, the blocked route's error captures (trsv_error.csv) are
 # 512-vintage, and ragged f32 measured only +1.5% at 1024 (probe_r5n) — not
@@ -523,7 +527,7 @@ RESIDENT_N = 2048
 # inv-apply class: 5.9e-5 at 1024 vs 4.7e-5 at 512 (probe_r5m, against the
 # f64 solve of the quantized operand; 2048 degrades to 1.5e-4 AND loses
 # speed, so the wide end is doubly rejected).
-_NARROW_BLOCK_N = 4096
+_NARROW_BLOCK_N = RESIDENT_N + 1
 
 
 def _small_block_for(n: int, k: int, f32_storage: bool) -> int:
@@ -779,8 +783,9 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
     storage width — 692/693 vs the sweep's 398/80 GF/s at 24576), any
     storage at VMEM-scale n, and wide multi-rhs panels (probe_r3g: at
     k=128 the XLA-composed schedule runs 24.9 vs 16.5 TF/s f32 and 44.5
-    vs 17.9 bf16 at n=16384 — k=16 measured a tie, so the gate sits at
-    32). f8 single-rhs solves route here too since round 5 (probe_r5k on
+    vs 17.9 bf16 at n=16384 — f32 k=16 measured a tie, so the f32 gate
+    sits at 32; narrow storage takes the blocked route at every k since
+    round 5, probe_r5p). f8 single-rhs solves route here too since round 5 (probe_r5k on
     v5e at 24576: blocked per-slice f32-cast feed 973 GF/s vs the Pallas
     sweep's 121 — the sweep is latency-class for single-rhs and fp8's byte
     saving never reached its chain; the round-3 "no fast XLA 8-bit
@@ -811,8 +816,17 @@ def _use_small(n: int, interpret, resident, ar: str, k: int = 1,
     # a retuned BLOCK_VEC must move both gates together (advisor round 4).
     if (k == 1 and st == "f32" and n >= 8 * BLOCK_VEC and n % BLOCK_VEC == 0):
         return False
+    # round-5 narrow multi-rhs extension (probe_r5p at n=16384 on v5e):
+    # for NARROW storage the blocked route's per-slice convert feed beats
+    # the fused Pallas sweep at every probed k in (1, 32) too — bf16
+    # 4510/8914 vs 2914/5699 GF/s and f8 4772/9406 vs 941/1870 at k=8/16
+    # (block=1024, _small_block_for) — so the k==1 narrow gate extends to
+    # k < 32. f32 storage keeps the sweep for 1 < k < 32: probe_r3g
+    # measured a tie at k=16 and the convert-feed advantage is
+    # narrow-specific (the f32 panel feed streams full-width either way).
     return (n <= RESIDENT_N
-            or (k == 1 and st in ("f32", "bf16", "f16", "f8e4m3", "f8e5m2"))
+            or (k == 1 and st == "f32")
+            or (k < 32 and st in ("bf16", "f16", "f8e4m3", "f8e5m2"))
             or k >= 32)
 
 

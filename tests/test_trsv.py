@@ -397,9 +397,15 @@ def test_use_small_routing_gate(monkeypatch):
     assert tv._use_small(24500, None, None, "f32", k=1, st="f32")
     assert tv._use_small(4096, None, None, "f32", k=1, st="f32")
     assert tv._use_small(24576, None, None, "f32", k=1, st="bf16")
-    # wide panels autoroute regardless of storage; narrow k does not
+    # wide panels autoroute regardless of storage; narrow-storage panels
+    # at 1 < k < 32 do too since round 5 (probe_r5p: blocked b=1024 runs
+    # bf16 4510/8914 and f8 4772/9406 vs the sweep's 2914/5699 and
+    # 941/1870 GF/s at k=8/16, n=16384); f32 keeps the sweep there
+    # (probe_r3g k=16 tie)
     assert tv._use_small(big, None, None, "f32", k=32, st="f8e4m3")
-    assert not tv._use_small(big, None, None, "f32", k=8, st="f8e4m3")
+    assert tv._use_small(big, None, None, "f32", k=8, st="f8e4m3")
+    assert tv._use_small(16384, None, None, "f32", k=16, st="bf16")
+    assert not tv._use_small(16384, None, None, "f32", k=8, st="f32")
     # VMEM-resident n routes for any storage
     assert tv._use_small(tv.RESIDENT_N, None, None, "f32", k=8, st="f8e4m3")
     # df64 arithmetic always uses the fused Pallas sweep
@@ -529,23 +535,27 @@ def test_leaf_vec_gate_sweep():
 def test_narrow_block_retune_gate():
     """Round-5 blocked-route block retune (probe_r5m/r5n on v5e): narrow
     storage in the per-slice convert-feed regime (k < 32) takes
-    BLOCK_VEC=1024 blocks from n >= _NARROW_BLOCK_N=4096 (f8 969 -> 1128,
-    bf16 692 -> 744 GF/s at 24576; wins at every probed n >= 4096). f32,
-    wide panels (k >= 32, upfront-cast TRSM), and smaller n keep
-    _block_for. Gate values pinned here; numerics exercised below with
-    shrunk constants so the BLOCK_VEC branch runs on CPU."""
+    BLOCK_VEC=1024 blocks (f8 969 -> 1128, bf16 692 -> 744 GF/s at 24576;
+    wins at every probed n >= 4096, and probe_r5p pinned the crossover at
+    the regime boundary itself — 1024 wins down to n=2176, so the gate is
+    n > RESIDENT_N). f32, wide panels (k >= 32, upfront-cast TRSM), and
+    VMEM-resident n keep _block_for. Gate values pinned here; numerics
+    exercised below with shrunk constants so the BLOCK_VEC branch runs on
+    CPU."""
     import accblas_tpu.ops.trsv as tv
 
     assert tv._small_block_for(24576, 1, False) == tv.BLOCK_VEC
     assert tv._small_block_for(4096, 1, False) == tv.BLOCK_VEC
     assert tv._small_block_for(4096, 31, False) == tv.BLOCK_VEC
+    # probe_r5p: the whole per-slice regime (n > RESIDENT_N) takes 1024
+    assert tv._small_block_for(2176, 1, False) == tv.BLOCK_VEC
+    assert tv._small_block_for(tv.RESIDENT_N + 1, 1, False) == tv.BLOCK_VEC
     # f32 keeps the 512 schedule (error captures are 512-vintage)
     assert tv._small_block_for(24576, 1, True) == tv.BLOCK
     # wide panels are upfront-cast TRSM: BLOCK halves the rhs-group budget
     assert tv._small_block_for(24576, 32, False) == tv.BLOCK
     assert tv._small_block_for(24576, 128, False) == tv.BLOCK
-    # below the probed crossover: unchanged
-    assert tv._small_block_for(4095, 1, False) == tv.BLOCK
+    # at/below the regime boundary: unchanged
     assert tv._small_block_for(2048, 1, False) == tv.BLOCK
     assert tv._small_block_for(700, 1, False) == 256
 
