@@ -268,6 +268,37 @@ def test_acc_trsm_bf16_storage():
     assert rel < 1e-3
 
 
+def test_acc_trsm_narrow_multirhs_blocked_route():
+    """Round-5 probe_r5p reroute: narrow-storage panels at 1 < k < 32 and
+    n > RESIDENT_N auto-route onto the blocked schedule (BLOCK_VEC=1024
+    blocks). Numerics of the newly-routed branch vs a per-column fp64
+    solve of the quantized operand, and vs the sweep route (resident=False)
+    on the same operand — same error class required."""
+    n, k = 2176, 8
+    lu, _ = _packed_lu(n, seed=53)
+    ab = jnp.asarray(lu, jnp.float32).astype(jnp.bfloat16)
+    B64 = gen_mtx(MatrixInfo(k, n), seed=59).T
+    B = jnp.asarray(B64, jnp.float32)
+    lu_st = np.asarray(ab.astype(jnp.float32), np.float64)
+    ref = _ref_solve_multi(lu_st, B64, "upper", False)
+
+    import accblas_tpu.ops.trsv as tv
+    # the per-slice narrow block choice the TPU autoroute would take
+    assert tv._small_block_for(n, k, False) == tv.BLOCK_VEC
+    routed = trsvops.acc_trsm(ab, B, uplo="upper", unit=False, ar="f32",
+                              resident=True, unstable_ok=True)
+    swept = trsvops.acc_trsm(ab, B, uplo="upper", unit=False, ar="f32",
+                             resident=False, unstable_ok=True)
+
+    def rel(x):
+        return (np.linalg.norm(np.asarray(x, np.float64) - ref)
+                / np.linalg.norm(ref))
+
+    r_blk, r_swp = rel(routed), rel(swept)
+    assert np.isfinite(r_blk) and r_blk < 1e-2, r_blk
+    assert r_blk < 10 * max(r_swp, 1e-7), (r_blk, r_swp)
+
+
 def test_trsm_wide_rhs_group_split():
     # k > the scratch-budget group size at this n would need a huge n; instead
     # force grouping by monkeypatching the budget
