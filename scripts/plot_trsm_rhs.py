@@ -1,8 +1,10 @@
 """Assemble the TRSM rhs-scaling figure from the per-(n,nrhs) capture CSVs.
 
-The rhs axis (round 5): nrhs 32/128/512 at n=8192 and n=16384, per tier.
-Sources: trsm8192_rhs{32,512}.csv, trsm_rhs{32,512}.csv (n=16384),
-trsm_flops.csv (the 128-rhs pow2 table). House style follows
+The rhs axis (round 5): nrhs 8/16/32/128/512 at n=8192 and n=16384, per
+tier — the 8/16 narrow band rides the blocked route since probe_r5p
+(campaign_r5s/r5t captures). Sources: trsm8192_rhs{8,16,32,512}.csv,
+trsm_rhs{8,16,32,512}.csv (n=16384), trsm_flops.csv (the 128-rhs pow2
+table). House style follows
 accblas_tpu/bench/plot.py; tier->hue assignments match the column order
 of v5e_trsm_flops.svg so color follows the tier across the figure
 family. Identity is never color-alone: per-tier markers + legend, XLA
@@ -35,9 +37,11 @@ TIERS = [
 ]
 
 SOURCES = {
-    8192: {32: "trsm8192_rhs32.csv", 128: "trsm_flops.csv",
+    8192: {8: "trsm8192_rhs8.csv", 16: "trsm8192_rhs16.csv",
+           32: "trsm8192_rhs32.csv", 128: "trsm_flops.csv",
            512: "trsm8192_rhs512.csv"},
-    16384: {32: "trsm_rhs32.csv", 128: "trsm_flops.csv",
+    16384: {8: "trsm_rhs8.csv", 16: "trsm_rhs16.csv",
+            32: "trsm_rhs32.csv", 128: "trsm_flops.csv",
             512: "trsm_rhs512.csv"},
 }
 
