@@ -79,6 +79,12 @@ def parse_args(prog: str, default_size: int, min_size: int, extra=None):
                    "reference's grids are step-100 for GEMV/TRSV and step-2e6 "
                    "for DOT — pass --step 256 for the comparable resolution "
                    "class on lane-aligned grids)")
+    p.add_argument("--min-size", dest="min_size", type=int, default=0,
+                   help="sweep grid start override (0 = driver default) — "
+                   "resume an interrupted dense campaign from its last "
+                   "completed size without re-measuring the finished rows "
+                   "(the drivers flush one CSV row per size, so a killed "
+                   "sweep restarts here and the rows concatenate)")
     p.add_argument("--randomizations", type=int, default=10,
                    help="error-mode re-randomizations for the median (reference: 10)")
     p.add_argument("--no-align", dest="align", action="store_false", default=True,
@@ -101,6 +107,11 @@ def sweep_sizes(args, min_size: int, align: int, dense_step: int):
 
     if not getattr(args, "align", True):
         align = 1
+    # --min-size: resume point for interrupted sweeps. Clamped upward only,
+    # and kept on the same dense residue class as the default grid (the
+    # caller passes a value from the original grid), so resumed rows
+    # concatenate seamlessly with the already-flushed CSV prefix.
+    min_size = max(min_size, getattr(args, "min_size", 0) or 0)
 
     def al(v):
         return max(align, (v // align) * align)

@@ -62,3 +62,17 @@ def test_device_info_and_sweeps():
     assert sweep_sizes(A, 1024, 1024, 0) == [8192]
     A.sweep = "dense"
     assert sweep_sizes(A, 1024, 1024, 2048)[:2] == [1024, 3072]
+
+    # --min-size resume: same residue class as the full grid's tail, so a
+    # resumed campaign's rows concatenate with the flushed CSV prefix
+    class B:
+        sweep = "dense"
+        size = 24576
+        step = 256
+        min_size = 16512
+
+    full = sweep_sizes(type("F", (), {"sweep": "dense", "size": 24576,
+                                      "step": 256}), 128, 128, 1024)
+    tail = sweep_sizes(B, 128, 128, 1024)
+    assert tail == [s for s in full if s >= 16512]
+    assert tail[0] == 16512 and tail[-1] == 24576
